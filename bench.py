@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Benchmark: batch ZSTD decode throughput on the current JAX device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N, ...}
+
+The corpus is Silesia-like (the real corpus is unavailable offline): a
+mix of natural-language text (the reference's moby-dick corpus file,
+decoded), structured records, low-entropy noise and repetitive binary,
+compressed with libzstd at level 3 with checksums — multi-frame,
+multi-block, exercising huffman/FSE/treeless/repeat paths.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so
+the recorded baseline is this repo's own serial host oracle (the
+faithful stand-in for the reference's single-threaded decoder) measured
+on a slice of the same corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np  # noqa: E402
+
+
+def build_corpus(target_mb: float = 24.0) -> bytes:
+    """Deterministic Silesia-like mixed corpus (decompressed form)."""
+    rng = np.random.default_rng(0xC0DEC)
+    parts: list[bytes] = []
+
+    moby = pathlib.Path("/root/reference/resources/moby-dick.txt.zst")
+    if moby.exists():
+        from zstd_tpu.runtime.oracle import decompress
+
+        text = decompress(moby.read_bytes())
+    else:
+        words = [bytes(rng.integers(97, 123, int(n))) for n in rng.integers(2, 12, 512)]
+        text = b" ".join(words[int(i)] for i in rng.integers(0, 512, 400_000))
+    parts.append(text)
+
+    # Structured records (database-ish).
+    rec = b"".join(
+        b"id=%08d|name=user%04d|score=%05d;" % (i, i % 7919, (i * 2654435761) % 99999)
+        for i in range(60_000)
+    )
+    parts.append(rec)
+    # Low-entropy noise (sampled small alphabet).
+    parts.append(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 2_000_000).tobytes())
+    # Repetitive binary with long matches.
+    block = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    parts.append(b"".join(block[: int(k)] for k in rng.integers(512, 4096, 2_000)))
+
+    blob = b"".join(parts)
+    reps = max(1, int(target_mb * 1e6) // len(blob))
+    return (blob * (reps + 1))[: int(target_mb * 1e6)]
+
+
+def main() -> None:
+    from zstd_tpu.runtime.engine import DeviceEngine
+    from zstd_tpu.runtime.oracle import decompress as oracle_decompress
+    from zstd_tpu.testing import libzstd
+
+    report: dict = {}
+
+    raw = build_corpus()
+    # Frame per ~4 MB chunk: multi-frame like a batch decode workload.
+    chunk = 4 << 20
+    frames = [
+        libzstd.compress(raw[i : i + chunk], 3, checksum=True)
+        for i in range(0, len(raw), chunk)
+    ]
+    comp = b"".join(frames)
+
+    import jax
+
+    engine = DeviceEngine()
+    # Warm-up: compile all bucket shapes and validate bit-exactness.
+    out = engine.decompress(comp)
+    assert out == raw, "bench decode is not bit-exact"
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        engine.decompress(comp)
+    dt = (time.perf_counter() - t0) / iters
+
+    gbs = len(raw) / dt / 1e9
+
+    # Baseline: serial host oracle on a slice, extrapolated.
+    slice_comp = libzstd.compress(raw[: 2 << 20], 3, checksum=True)
+    t0 = time.perf_counter()
+    oracle_out = oracle_decompress(slice_comp)
+    oracle_dt = time.perf_counter() - t0
+    oracle_gbs = len(oracle_out) / oracle_dt / 1e9
+
+    stats = engine.stats.as_dict()
+    report = {
+        "metric": "silesia-like batch decode throughput (1 chip, bit-exact)",
+        "value": round(gbs, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbs / oracle_gbs, 2),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "corpus_bytes": len(raw),
+            "compressed_bytes": len(comp),
+            "iters": iters,
+            "oracle_baseline_gbs": round(oracle_gbs, 4),
+            "lit_lanes": stats["lit_lanes"],
+            "seq_lanes": stats["seq_lanes"],
+            "fallback_frames": stats["fallback_frames"],
+            "wall_s": {k: round(v, 3) for k, v in stats["wall_s"].items()},
+        },
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

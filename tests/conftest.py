@@ -1,22 +1,15 @@
 """Test configuration.
 
-Device-path tests run on a virtual 8-device CPU mesh (SURVEY.md §4's
-"pattern to replicate on TPU"): the JAX platform is forced to CPU with
-``xla_force_host_platform_device_count=8`` so multi-chip sharding logic
-is exercised without TPU hardware.  These env vars must be set before
-JAX is first imported, hence here.
+Tests run on the default JAX platform (the real TPU chip when present,
+CPU otherwise).  Multi-chip sharding is exercised separately in
+tests/test_parallel.py, which re-launches itself in a subprocess with a
+virtual 8-device CPU mesh (``xla_force_host_platform_device_count``) —
+the SURVEY.md §4 pattern — because the platform must be chosen before
+JAX initializes and the suite may already hold a TPU.
 """
 
-import os
 import pathlib
 import sys
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 

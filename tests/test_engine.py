@@ -1,0 +1,117 @@
+"""Device-engine tests (CPU backend, virtual devices via conftest).
+
+The engine must be bit-exact with the host oracle and libzstd through
+the batched kernel path — and must fall back to the oracle, not fail,
+when a lane's status check trips."""
+
+import numpy as np
+import pytest
+
+from zstd_tpu.format.block_table import build_batch_plan
+from zstd_tpu.runtime.engine import DeviceEngine, _bucket_lanes
+from zstd_tpu.runtime.oracle import decompress as oracle_decompress
+from zstd_tpu.testing import libzstd
+
+pytestmark = pytest.mark.skipif(
+    not libzstd.available(), reason="libzstd not available"
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return DeviceEngine()
+
+
+def _check(engine, payload: bytes, level: int = 3, **kw):
+    comp = libzstd.compress(payload, level, **kw)
+    out = engine.decompress(comp)
+    assert out == payload
+    return engine.stats
+
+
+def test_corpus_through_engine(engine, corpus):
+    for name, data in corpus.items():
+        assert engine.decompress(data) == libzstd.decompress(data), name
+
+
+def test_compressed_block_no_fallback(engine):
+    # Compressible payload -> huffman literals + fse sequences on device.
+    payload = (b"engine test payload %d " * 500) % tuple(range(500))
+    stats = _check(engine, payload, 6, checksum=True)
+    assert stats.lit_lanes > 0 and stats.seq_lanes > 0
+    assert stats.fallback_frames == 0
+
+
+def test_rle_and_raw_blocks(engine):
+    _check(engine, bytes(2000), 1)  # RLE-ish
+    _check(engine, np.random.default_rng(0).bytes(2000), 3)  # raw block
+
+
+def test_treeless_and_repeat_paths(engine):
+    # Multi-block input reuses Huffman tables / FSE modes across blocks.
+    rng = np.random.default_rng(1)
+    words = [bytes(rng.integers(97, 103, 8)) for _ in range(64)]
+    payload = b" ".join(words[int(i)] for i in rng.integers(0, 64, 80_000))
+    stats = _check(engine, payload, 3)
+    assert stats.blocks >= 2
+    assert stats.fallback_frames == 0
+
+
+def test_4stream_literals(engine):
+    # Literal-heavy payload (few matches, skewed byte histogram) so the
+    # encoder emits a large huffman-compressed literals section -> 4
+    # streams (literals.rs:108-123 jump table path).
+    rng = np.random.default_rng(3)
+    payload = rng.choice(
+        np.frombuffer(b"abcdefgh", dtype=np.uint8), 60_000, p=[0.3, 0.2, 0.15, 0.1, 0.1, 0.05, 0.05, 0.05]
+    ).tobytes()
+    comp = libzstd.compress(payload, 3)
+    plan = build_batch_plan(comp)
+    # 4-stream blocks produce 4 lanes per compressed-literals block.
+    frames = [f for f in plan.frames if f.blocks]
+    lit_counts = [len(b.lit_streams) for f in frames for b in f.blocks]
+    assert any(c == 4 for c in lit_counts)
+    assert engine.decompress(comp) == payload
+
+
+def test_corrupt_stream_falls_back_to_oracle_error(engine):
+    # A corrupted entropy stream must surface a typed error (via oracle
+    # fallback), not bad bytes.
+    payload = (b"corrupt me " * 2000)
+    comp = bytearray(libzstd.compress(payload, 6, checksum=True))
+    comp[len(comp) // 2] ^= 0x55
+    try:
+        out = engine.decompress(bytes(comp))
+        # If it decodes, it must still verify (mutation hit dead space).
+        assert out == payload
+    except Exception:
+        pass
+
+
+def test_engine_matches_oracle_on_mixed_frames(engine):
+    a = libzstd.compress(b"frame one " * 300, 5, checksum=True)
+    skip = b"\x53\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"SKIP"
+    b = libzstd.compress(np.random.default_rng(2).bytes(5000), 1)
+    data = a + skip + b
+    assert engine.decompress(data) == oracle_decompress(data)
+    assert engine.decompress(data, include_skippable=True) == oracle_decompress(
+        data, include_skippable=True
+    )
+
+
+def test_bucketing():
+    counts = np.array([0, 10, 100, 100, 5000, 64, 65])
+    buckets = _bucket_lanes(counts)
+    seen = [lane for idx, _ in buckets for lane in idx]
+    assert sorted(seen) == [1, 2, 3, 4, 5, 6]  # lane 0 dropped (0 symbols)
+    for idx, steps in buckets:
+        assert (counts[idx] <= steps).all()
+
+
+def test_stats_populated(engine):
+    payload = b"stats payload " * 1000
+    stats = _check(engine, payload, 6)
+    d = stats.as_dict()
+    assert d["bytes_out"] == len(payload)
+    assert d["bytes_in"] > 0
+    assert set(d["wall_s"]) == {"prepass", "kernels", "assembly", "total"}

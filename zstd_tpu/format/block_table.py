@@ -1,0 +1,384 @@
+"""Host prepass: flatten parsed frames into a device-ready batch plan.
+
+This is the host/device cut (SURVEY.md §3.1): everything above block
+*decoding* — frame/block/section headers, tiny FSE/Huffman table builds,
+repeat-mode resolution — happens here, serially and cheaply; everything
+byte-volume — Huffman literals, tANS sequence triples — becomes lanes of
+the batched device kernels (zstd_tpu/kernels/entropy.py).
+
+The plan carries per-block *assembly* metadata so the runtime can stitch
+frame outputs in order, and per-frame fallback flags: any stream that
+fails prepass validation (or later a kernel status check) routes its
+whole frame to the host oracle — bit-exactness is never sacrificed for
+the fast path (SURVEY.md §5 failure detection).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import fse as fse_ops
+from ..ops.huffman import HuffmanTable, parse_huffman_table
+from ..utils.bits import ForwardByteCursor
+from ..utils.errors import ZstdError
+from .block import BlockType
+from .frame import MAX_WINDOW_SIZE, SkippableFrame, ZstdFrame, iter_frames
+from .literals import LiteralsType, stream_regen_sizes
+from .sequences import SeqMode, SeqModeDesc
+
+HUFF_LUT_SIZE = 2048  # uniform 11-bit index
+FSE_SLOT_SIZE = 512  # AL <= 9
+MAX_BLOCK_SIZE = 128 << 10  # RFC 8878 §3.1.1.2.3
+# Smallest sequence regenerates 3 bytes (ml >= 3, ll >= 0).
+MAX_SEQUENCES_PER_BLOCK = MAX_BLOCK_SIZE // 3 + 1
+
+
+def pack_huffman_lut(table: HuffmanTable) -> np.ndarray:
+    """Expand a flat Huffman table to the uniform 11-bit index width.
+
+    ``lut11[i] = packed[i >> (11 - max_bits)]`` — every kernel lane then
+    peeks exactly 11 bits regardless of the table's true depth.
+    """
+    packed = table.symbol.astype(np.int32) << 4 | table.nbits.astype(np.int32)
+    shift = 11 - table.max_bits
+    idx = np.arange(HUFF_LUT_SIZE, dtype=np.int64) >> shift
+    return packed[idx]
+
+
+def pack_fse_table(table: fse_ops.FseTable) -> np.ndarray:
+    """Pack an FSE decode table into 512 int32 slots (zero-padded)."""
+    out = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
+    out[: table.size] = (
+        table.baseline.astype(np.int32) << 16
+        | table.symbol.astype(np.int32) << 4
+        | table.nbits.astype(np.int32)
+    )
+    return out
+
+
+def pack_rle_table(byte: int) -> np.ndarray:
+    """An RLE sequence-code 'table': one state, zero bits (AL = 0).
+
+    Unifies the reference's RLEDecoder (rle.rs:6-34) with the FSE path:
+    state stays 0, emits ``byte``, reads no bits.
+    """
+    out = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
+    out[0] = byte << 4
+    return out
+
+
+class _FseBank:
+    """Slot allocator for FSE/RLE sequence tables shipped to the device."""
+
+    def __init__(self) -> None:
+        self.tables: list[np.ndarray] = []
+        self.als: list[int] = []
+        self._predef: dict[str, int] = {}
+        self._rle: dict[int, int] = {}
+
+    def add(self, packed: np.ndarray, al: int) -> int:
+        self.tables.append(packed)
+        self.als.append(al)
+        return len(self.tables) - 1
+
+    def predefined(self, kind: str) -> int:
+        if kind not in self._predef:
+            table = {
+                "ll": fse_ops.PREDEFINED_LL_TABLE,
+                "of": fse_ops.PREDEFINED_OF_TABLE,
+                "ml": fse_ops.PREDEFINED_ML_TABLE,
+            }[kind]
+            self._predef[kind] = self.add(pack_fse_table(table), table.accuracy_log)
+        return self._predef[kind]
+
+    def rle(self, byte: int) -> int:
+        if byte not in self._rle:
+            self._rle[byte] = self.add(pack_rle_table(byte), 0)
+        return self._rle[byte]
+
+    def stack(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self.tables:
+            return (
+                np.zeros((1, FSE_SLOT_SIZE), dtype=np.int32),
+                np.zeros(1, dtype=np.int32),
+            )
+        return np.stack(self.tables), np.asarray(self.als, dtype=np.int32)
+
+
+class _WordBuffer:
+    """Flat uint32 stream buffer with per-stream base offsets.
+
+    Each stream is padded to a word boundary plus one zero word so the
+    kernels' two-word windows never read out of bounds.
+    """
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def add(self, payload: memoryview | bytes) -> tuple[int, int]:
+        """Returns (base_word, sentinel_bitpos) or (-1, -1) if invalid."""
+        n = len(payload)
+        if n == 0 or payload[-1] == 0:
+            return -1, -1
+        base = len(self.buf) // 4
+        self.buf += payload
+        pad = (-n) % 4
+        self.buf += b"\x00" * (pad + 4)
+        p0 = 8 * (n - 1) + int(payload[-1]).bit_length() - 1
+        return base, p0
+
+    def words(self) -> np.ndarray:
+        if not self.buf:
+            return np.zeros(2, dtype=np.uint32)
+        return np.frombuffer(bytes(self.buf), dtype="<u4").copy()
+
+
+@dataclass
+class LitStreamRef:
+    lane: int
+    regen: int
+
+
+@dataclass
+class BlockPlan:
+    kind: BlockType
+    raw: memoryview | None = None
+    rle_byte: int = 0
+    rle_repeat: int = 0
+    # Compressed-block literals:
+    lit_kind: LiteralsType | None = None
+    lit_raw: memoryview | None = None
+    lit_rle_byte: int = 0
+    lit_regen: int = 0
+    lit_streams: list[LitStreamRef] = field(default_factory=list)
+    # Compressed-block sequences:
+    seq_lane: int = -1
+    num_seq: int = 0
+
+
+@dataclass
+class FramePlan:
+    frame: ZstdFrame | SkippableFrame
+    blocks: list[BlockPlan] = field(default_factory=list)
+    fallback: bool = False
+    fallback_reason: str = ""
+
+
+@dataclass
+class BatchPlan:
+    frames: list[FramePlan]
+    words: np.ndarray
+    # Literal-stream lanes:
+    lit_base: np.ndarray
+    lit_p0: np.ndarray
+    lit_regen: np.ndarray
+    lit_slot: np.ndarray
+    huff_luts: np.ndarray  # (n_tables, 2048) int32
+    # Sequence lanes:
+    seq_base: np.ndarray
+    seq_p0: np.ndarray
+    seq_nseq: np.ndarray
+    seq_ll_slot: np.ndarray
+    seq_of_slot: np.ndarray
+    seq_ml_slot: np.ndarray
+    seq_ll_al: np.ndarray
+    seq_of_al: np.ndarray
+    seq_ml_al: np.ndarray
+    fse_tables: np.ndarray  # (n_slots, 512) int32
+    fse_als: np.ndarray
+
+    @property
+    def n_lit_lanes(self) -> int:
+        return len(self.lit_base)
+
+    @property
+    def n_seq_lanes(self) -> int:
+        return len(self.seq_base)
+
+
+class _Builder:
+    def __init__(self) -> None:
+        self.wb = _WordBuffer()
+        self.fse = _FseBank()
+        self.huff_luts: list[np.ndarray] = []
+        self.lit = {k: [] for k in ("base", "p0", "regen", "slot")}
+        self.seq = {
+            k: []
+            for k in (
+                "base",
+                "p0",
+                "nseq",
+                "ll_slot",
+                "of_slot",
+                "ml_slot",
+                "ll_al",
+                "of_al",
+                "ml_al",
+            )
+        }
+
+    def add_lit_lane(self, payload, regen: int, slot: int) -> int:
+        base, p0 = self.wb.add(payload)
+        if base < 0:
+            return -1
+        lane = len(self.lit["base"])
+        self.lit["base"].append(base)
+        self.lit["p0"].append(p0)
+        self.lit["regen"].append(regen)
+        self.lit["slot"].append(slot)
+        return lane
+
+    def add_seq_lane(self, payload, nseq: int, specs) -> int:
+        base, p0 = self.wb.add(payload)
+        if base < 0:
+            return -1
+        (ll_slot, ll_al), (of_slot, of_al), (ml_slot, ml_al) = specs
+        lane = len(self.seq["base"])
+        self.seq["base"].append(base)
+        self.seq["p0"].append(p0)
+        self.seq["nseq"].append(nseq)
+        self.seq["ll_slot"].append(ll_slot)
+        self.seq["of_slot"].append(of_slot)
+        self.seq["ml_slot"].append(ml_slot)
+        self.seq["ll_al"].append(ll_al)
+        self.seq["of_al"].append(of_al)
+        self.seq["ml_al"].append(ml_al)
+        return lane
+
+
+def _resolve_seq_slot(
+    builder: _Builder,
+    kind: str,
+    desc: SeqModeDesc,
+    current: tuple[int, int] | None,
+) -> tuple[int, int] | None:
+    """Resolve a mode descriptor to (slot, accuracy_log); None → fallback."""
+    if desc.mode == SeqMode.PREDEFINED:
+        slot = builder.fse.predefined(kind)
+        return slot, builder.fse.als[slot]
+    if desc.mode == SeqMode.RLE:
+        return builder.fse.rle(desc.rle_byte), 0
+    if desc.mode == SeqMode.FSE:
+        t = desc.fse_table
+        return builder.fse.add(pack_fse_table(t), t.accuracy_log), t.accuracy_log
+    return current  # REPEAT (None when there is no previous table)
+
+
+def build_batch_plan(
+    data: bytes | memoryview, *, max_window_size: int = MAX_WINDOW_SIZE
+) -> BatchPlan:
+    """Parse ``data`` and lay out every entropy stream as a kernel lane."""
+    builder = _Builder()
+    frames: list[FramePlan] = []
+
+    for frame in iter_frames(data, max_window_size=max_window_size):
+        fp = FramePlan(frame=frame)
+        frames.append(fp)
+        if isinstance(frame, SkippableFrame):
+            continue
+        huff_slot: int | None = None
+        cur = {"ll": None, "of": None, "ml": None}
+        for block in frame.blocks:
+            if fp.fallback:
+                break
+            bp = BlockPlan(kind=block.btype)
+            fp.blocks.append(bp)
+            if block.btype == BlockType.RAW:
+                bp.raw = block.data
+                continue
+            if block.btype == BlockType.RLE:
+                bp.rle_byte, bp.rle_repeat = block.rle_byte, block.rle_repeat
+                continue
+
+            lit = block.literals
+            bp.lit_kind = lit.ltype
+            bp.lit_regen = lit.regenerated_size
+            # RFC 8878 §3.1.1.2.3: a block decodes to at most 128 KiB, so
+            # any larger header value is corruption — route to the oracle
+            # rather than sizing kernels off attacker-controlled fields.
+            if (
+                lit.regenerated_size > MAX_BLOCK_SIZE
+                or block.sequences.num_sequences > MAX_SEQUENCES_PER_BLOCK
+            ):
+                fp.fallback, fp.fallback_reason = True, "block size bound"
+                continue
+            if lit.ltype == LiteralsType.RAW:
+                bp.lit_raw = lit.data
+            elif lit.ltype == LiteralsType.RLE:
+                bp.lit_rle_byte = lit.rle_byte
+            else:
+                if lit.ltype == LiteralsType.COMPRESSED:
+                    try:
+                        table = parse_huffman_table(
+                            ForwardByteCursor(lit.huffman_payload)
+                        )
+                    except ZstdError as e:
+                        fp.fallback, fp.fallback_reason = True, f"huffman: {e}"
+                        continue
+                    builder.huff_luts.append(pack_huffman_lut(table))
+                    huff_slot = len(builder.huff_luts) - 1
+                if huff_slot is None:
+                    fp.fallback, fp.fallback_reason = True, "treeless w/o table"
+                    continue
+                regens = stream_regen_sizes(lit.regenerated_size, len(lit.streams))
+                if min(regens) < 0:
+                    fp.fallback, fp.fallback_reason = True, "bad stream split"
+                    continue
+                for payload, regen in zip(lit.streams, regens):
+                    lane = builder.add_lit_lane(payload, regen, huff_slot)
+                    if lane < 0:
+                        fp.fallback, fp.fallback_reason = True, "bad lit stream"
+                        break
+                    bp.lit_streams.append(LitStreamRef(lane, regen))
+                if fp.fallback:
+                    continue
+
+            seq = block.sequences
+            bp.num_seq = seq.num_sequences
+            if seq.num_sequences == 0:
+                continue
+            specs = []
+            for kind, desc in (("ll", seq.ll), ("of", seq.of), ("ml", seq.ml)):
+                spec = _resolve_seq_slot(builder, kind, desc, cur[kind])
+                if spec is None:
+                    fp.fallback, fp.fallback_reason = True, f"repeat {kind} w/o table"
+                    break
+                specs.append(spec)
+            if fp.fallback:
+                continue
+            lane = builder.add_seq_lane(seq.bitstream, seq.num_sequences, specs)
+            if lane < 0:
+                fp.fallback, fp.fallback_reason = True, "bad seq stream"
+                continue
+            bp.seq_lane = lane
+            cur["ll"], cur["of"], cur["ml"] = specs
+
+    fse_tables, fse_als = builder.fse.stack()
+    huff_luts = (
+        np.stack(builder.huff_luts)
+        if builder.huff_luts
+        else np.zeros((1, HUFF_LUT_SIZE), dtype=np.int32)
+    )
+    i32 = lambda xs: np.asarray(xs, dtype=np.int32)  # noqa: E731
+    return BatchPlan(
+        frames=frames,
+        words=builder.wb.words(),
+        lit_base=i32(builder.lit["base"]),
+        lit_p0=i32(builder.lit["p0"]),
+        lit_regen=i32(builder.lit["regen"]),
+        lit_slot=i32(builder.lit["slot"]),
+        huff_luts=huff_luts,
+        seq_base=i32(builder.seq["base"]),
+        seq_p0=i32(builder.seq["p0"]),
+        seq_nseq=i32(builder.seq["nseq"]),
+        seq_ll_slot=i32(builder.seq["ll_slot"]),
+        seq_of_slot=i32(builder.seq["of_slot"]),
+        seq_ml_slot=i32(builder.seq["ml_slot"]),
+        seq_ll_al=i32(builder.seq["ll_al"]),
+        seq_of_al=i32(builder.seq["of_al"]),
+        seq_ml_al=i32(builder.seq["ml_al"]),
+        fse_tables=fse_tables,
+        fse_als=fse_als,
+    )

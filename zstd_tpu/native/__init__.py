@@ -1,0 +1,174 @@
+"""Native host-runtime bindings (ctypes over a gcc-built shared object).
+
+Builds ``native/zstd_tpu_native.c`` on first use (plain ``gcc -O2
+-shared``; pybind11 is not available in this environment) and exposes:
+
+* ``xxh64(data, seed)``
+* ``execute_sequences(out, out_len, literals, ll, ofv, ml, rep)``
+* ``huffman_decode_stream(stream, lut, index_bits, regen)``
+
+All are optional accelerations: every caller has a pure-Python/NumPy
+fallback, and the native results are covered by the same differential
+tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent.parent
+_SRC = _REPO / "native" / "zstd_tpu_native.c"
+_BUILD_DIR = _REPO / "native" / "_build"
+_SO = _BUILD_DIR / "libzstd_tpu_native.so"
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        os.environ.get("CC", "gcc"),
+        "-O2",
+        "-fPIC",
+        "-shared",
+        "-o",
+        str(_SO),
+        str(_SRC),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                _build()
+            lib = ctypes.CDLL(str(_SO))
+        except Exception:
+            return None
+        lib.zt_xxh64.restype = ctypes.c_uint64
+        lib.zt_xxh64.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint64]
+        lib.zt_execute_sequences.restype = ctypes.c_int
+        lib.zt_execute_sequences.argtypes = [
+            ctypes.c_void_p,  # out
+            ctypes.c_size_t,  # cap
+            ctypes.POINTER(ctypes.c_size_t),  # out_len io
+            ctypes.c_void_p,  # literals
+            ctypes.c_size_t,  # lit_len
+            ctypes.c_void_p,  # ll int32*
+            ctypes.c_void_p,  # ofv uint32*
+            ctypes.c_void_p,  # ml int32*
+            ctypes.c_size_t,  # n
+            ctypes.c_void_p,  # rep uint64[3]
+        ]
+        lib.zt_huffman_decode_stream.restype = ctypes.c_int
+        lib.zt_huffman_decode_stream.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def xxh64(data, seed: int = 0) -> int:
+    lib = _load()
+    if lib is None:
+        raise NativeUnavailable("native library not built")
+    arr = (
+        data
+        if isinstance(data, np.ndarray)
+        else np.frombuffer(data, dtype=np.uint8)
+    )
+    if arr.size == 0:
+        return lib.zt_xxh64(None, 0, seed)
+    return lib.zt_xxh64(arr.ctypes.data, arr.size, seed)
+
+
+_STATUS = {
+    1: "null offset",
+    2: "literal run exceeds remaining literals",
+    3: "offset exceeds decoded length",
+    4: "output overflow",
+}
+
+
+def execute_sequences(
+    out: np.ndarray,
+    out_len: int,
+    literals,
+    ll: np.ndarray,
+    ofv: np.ndarray,
+    ml: np.ndarray,
+    rep: np.ndarray,
+) -> int:
+    """Run sequences into preallocated ``out`` (uint8, big enough).
+
+    Returns the new output length; raises ValueError with the status
+    message on corruption.  ``rep`` is a uint64[3] array, mutated.
+    """
+    lib = _load()
+    if lib is None:
+        raise NativeUnavailable("native library not built")
+    lit = np.frombuffer(literals, dtype=np.uint8) if not isinstance(
+        literals, np.ndarray
+    ) else literals
+    ll = np.ascontiguousarray(ll, dtype=np.int32)
+    ofv = np.ascontiguousarray(ofv, dtype=np.uint32)
+    ml = np.ascontiguousarray(ml, dtype=np.int32)
+    n = len(ll)
+    out_len_c = ctypes.c_size_t(out_len)
+    status = lib.zt_execute_sequences(
+        out.ctypes.data,
+        out.size,
+        ctypes.byref(out_len_c),
+        lit.ctypes.data if lit.size else None,
+        lit.size,
+        ll.ctypes.data,
+        ofv.ctypes.data,
+        ml.ctypes.data,
+        n,
+        rep.ctypes.data,
+    )
+    if status != 0:
+        raise ValueError(f"sequence execution failed: {_STATUS.get(status, status)}")
+    return out_len_c.value
+
+
+def huffman_decode_stream(
+    stream: bytes, lut: np.ndarray, index_bits: int, regen: int
+) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise NativeUnavailable("native library not built")
+    lut = np.ascontiguousarray(lut, dtype=np.int16)
+    out = np.empty(regen, dtype=np.uint8)
+    status = lib.zt_huffman_decode_stream(
+        bytes(stream), len(stream), lut.ctypes.data, index_bits, out.ctypes.data, regen
+    )
+    if status != 0:
+        raise ValueError(f"huffman stream decode failed (status {status})")
+    return out

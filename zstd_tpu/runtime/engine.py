@@ -1,0 +1,359 @@
+"""Single-chip device decode engine (M1): host prepass → batched device
+entropy kernels → host assembly.
+
+Pipeline (SURVEY.md §7):
+
+1. ``build_batch_plan`` parses everything and lays each entropy stream
+   out as a kernel lane.
+2. Lanes are bucketed by symbol count (next power of two) so jit
+   recompiles stay bounded while short lanes don't pay for long ones.
+3. ``decode_literals_batch`` / ``decode_sequences_batch`` run wide on
+   the device.
+4. Frames are stitched in order on the host: raw/RLE copies, literal
+   stream concatenation, repeat-offset resolution + LZ77 execution
+   (device execution lands in M2), checksum verification.
+
+Any lane whose kernel status fails — and any frame the prepass flagged —
+is re-decoded by the host oracle, so the engine's output is bit-exact by
+construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..format.block import BlockType
+from ..format.block_table import BatchPlan, BlockPlan, FramePlan, build_batch_plan
+from ..format.frame import MAX_WINDOW_SIZE, SkippableFrame
+from ..format.literals import LiteralsType
+from ..ops.lz77 import execute_sequences
+from ..ops.sequence_codes import INITIAL_REPEAT_OFFSETS
+from ..utils.errors import ChecksumMismatch, ImpossibleValue
+from ..utils.xxh64 import xxh64
+from .oracle import decode_frame
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    n = max(n, lo)
+    return 1 << (n - 1).bit_length()
+
+
+@dataclass
+class EngineStats:
+    """Per-run observability counters (SURVEY.md §5 metrics)."""
+
+    bytes_in: int = 0
+    bytes_out: int = 0
+    frames: int = 0
+    blocks: int = 0
+    lit_lanes: int = 0
+    seq_lanes: int = 0
+    fallback_frames: int = 0
+    kernel_calls: int = 0
+    wall_s: dict = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return {
+            "bytes_in": self.bytes_in,
+            "bytes_out": self.bytes_out,
+            "frames": self.frames,
+            "blocks": self.blocks,
+            "lit_lanes": self.lit_lanes,
+            "seq_lanes": self.seq_lanes,
+            "fallback_frames": self.fallback_frames,
+            "kernel_calls": self.kernel_calls,
+            "wall_s": dict(self.wall_s),
+        }
+
+
+class DeviceEngine:
+    """Batched decoder over one JAX device (CPU or TPU)."""
+
+    def __init__(self, *, max_window_size: int = MAX_WINDOW_SIZE, device=None):
+        from .jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.max_window_size = max_window_size
+        self.device = device
+        self.stats = EngineStats()
+
+    # -- kernel dispatch ----------------------------------------------------
+
+    def _run_literals(self, plan: BatchPlan):
+        """Decode all literal lanes; returns (outputs per lane, ok flags)."""
+        import jax.numpy as jnp
+
+        from ..kernels.entropy import decode_literals_batch
+
+        n = plan.n_lit_lanes
+        outs: list[np.ndarray | None] = [None] * n
+        ok = np.ones(n, dtype=bool)
+        if n == 0:
+            return outs, ok
+
+        words = jnp.asarray(plan.words)
+        luts = jnp.asarray(plan.huff_luts)
+        for idx, steps in _bucket_lanes(plan.lit_regen):
+            pad = _next_pow2(len(idx)) - len(idx)
+            sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
+            syms, lane_ok = decode_literals_batch(
+                words,
+                jnp.asarray(plan.lit_base[sel]),
+                jnp.asarray(plan.lit_p0[sel]),
+                jnp.asarray(
+                    np.where(
+                        np.arange(len(sel)) < len(idx), plan.lit_regen[sel], 0
+                    ).astype(np.int32)
+                ),
+                jnp.asarray(plan.lit_slot[sel]),
+                luts,
+                max_steps=steps,
+            )
+            self.stats.kernel_calls += 1
+            syms = np.asarray(syms)  # (steps, lanes)
+            lane_ok = np.asarray(lane_ok)
+            for j, lane in enumerate(idx):
+                outs[lane] = syms[: plan.lit_regen[lane], j]
+                ok[lane] = lane_ok[j]
+        return outs, ok
+
+    def _run_sequences(self, plan: BatchPlan):
+        """Decode all sequence lanes; returns (triples per lane, ok flags)."""
+        import jax.numpy as jnp
+
+        from ..kernels.entropy import decode_sequences_batch
+
+        n = plan.n_seq_lanes
+        outs: list[tuple | None] = [None] * n
+        ok = np.ones(n, dtype=bool)
+        if n == 0:
+            return outs, ok
+
+        words = jnp.asarray(plan.words)
+        tables = jnp.asarray(plan.fse_tables)
+        for idx, steps in _bucket_lanes(plan.seq_nseq):
+            pad = _next_pow2(len(idx)) - len(idx)
+            sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
+            active = np.arange(len(sel)) < len(idx)
+            ll, ofv, ml, lane_ok = decode_sequences_batch(
+                words,
+                jnp.asarray(plan.seq_base[sel]),
+                jnp.asarray(plan.seq_p0[sel]),
+                jnp.asarray(np.where(active, plan.seq_nseq[sel], 1).astype(np.int32)),
+                jnp.asarray(plan.seq_ll_slot[sel]),
+                jnp.asarray(plan.seq_of_slot[sel]),
+                jnp.asarray(plan.seq_ml_slot[sel]),
+                jnp.asarray(plan.seq_ll_al[sel]),
+                jnp.asarray(plan.seq_of_al[sel]),
+                jnp.asarray(plan.seq_ml_al[sel]),
+                tables,
+                max_steps=steps,
+            )
+            self.stats.kernel_calls += 1
+            ll, ofv, ml = np.asarray(ll), np.asarray(ofv), np.asarray(ml)
+            lane_ok = np.asarray(lane_ok)
+            for j, lane in enumerate(idx):
+                ns = plan.seq_nseq[lane]
+                outs[lane] = (ll[:ns, j], ofv[:ns, j], ml[:ns, j])
+                ok[lane] = lane_ok[j]
+        return outs, ok
+
+    # -- assembly -----------------------------------------------------------
+
+    def _assemble_frame(self, fp: FramePlan, lit_outs, seq_outs) -> bytes | bytearray:
+        """Assemble one frame's output.
+
+        With the native runtime available: exact-size preallocation
+        (block sizes are known once the sequence triples are decoded)
+        and memcpy-chunked execution in C.  Otherwise: pure-Python path.
+        """
+        try:
+            from .. import native
+
+            if not native.available():
+                raise ImportError
+        except ImportError:
+            out = bytearray()
+            rep = list(INITIAL_REPEAT_OFFSETS)
+            for bp in fp.blocks:
+                self._assemble_block(bp, out, rep, lit_outs, seq_outs)
+            return out
+
+        total = 0
+        for bp in fp.blocks:
+            if bp.kind == BlockType.RAW:
+                total += len(bp.raw)
+            elif bp.kind == BlockType.RLE:
+                total += bp.rle_repeat
+            else:
+                total += bp.lit_regen
+                if bp.seq_lane >= 0:
+                    total += int(seq_outs[bp.seq_lane][2].sum())
+
+        out = np.empty(total, dtype=np.uint8)
+        out_len = 0
+        rep = np.asarray(INITIAL_REPEAT_OFFSETS, dtype=np.uint64)
+        for bp in fp.blocks:
+            if bp.kind == BlockType.RAW:
+                n = len(bp.raw)
+                out[out_len : out_len + n] = np.frombuffer(bp.raw, dtype=np.uint8)
+                out_len += n
+                continue
+            if bp.kind == BlockType.RLE:
+                out[out_len : out_len + bp.rle_repeat] = bp.rle_byte
+                out_len += bp.rle_repeat
+                continue
+            if bp.lit_kind == LiteralsType.RAW:
+                literals = np.frombuffer(bp.lit_raw, dtype=np.uint8)
+            elif bp.lit_kind == LiteralsType.RLE:
+                literals = np.full(bp.lit_regen, bp.lit_rle_byte, dtype=np.uint8)
+            else:
+                parts = [
+                    lit_outs[ref.lane] for ref in bp.lit_streams if ref.regen
+                ]
+                literals = (
+                    np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+                )
+                if literals.size != bp.lit_regen:
+                    raise ImpossibleValue("literal stream size mismatch")
+            if bp.seq_lane < 0:
+                out[out_len : out_len + literals.size] = literals
+                out_len += literals.size
+                continue
+            ll, ofv, ml = seq_outs[bp.seq_lane]
+            try:
+                out_len = native.execute_sequences(
+                    out, out_len, literals, ll, ofv, ml, rep
+                )
+            except ValueError as e:
+                raise ImpossibleValue(str(e)) from None
+        return memoryview(out)[:out_len]
+
+    def _assemble_block(
+        self,
+        bp: BlockPlan,
+        out: bytearray,
+        rep: list[int],
+        lit_outs,
+        seq_outs,
+    ) -> None:
+        if bp.kind == BlockType.RAW:
+            out += bp.raw
+            return
+        if bp.kind == BlockType.RLE:
+            out += bytes([bp.rle_byte]) * bp.rle_repeat
+            return
+
+        # Compressed block: literals.
+        if bp.lit_kind == LiteralsType.RAW:
+            literals = bp.lit_raw
+        elif bp.lit_kind == LiteralsType.RLE:
+            literals = bytes([bp.lit_rle_byte]) * bp.lit_regen
+        else:
+            parts = [
+                lit_outs[ref.lane].tobytes() if ref.regen else b""
+                for ref in bp.lit_streams
+            ]
+            literals = b"".join(parts)
+            if len(literals) != bp.lit_regen:
+                raise ImpossibleValue("literal stream size mismatch")
+
+        if bp.seq_lane < 0:
+            out += literals
+            return
+        ll, ofv, ml = seq_outs[bp.seq_lane]
+        triples = list(zip(ll.tolist(), ofv.tolist(), ml.tolist()))
+        execute_sequences(out, triples, literals, rep)
+
+    def decompress_with_stats(
+        self,
+        data: bytes | memoryview,
+        *,
+        verify_checksum: bool = True,
+        include_skippable: bool = False,
+    ) -> bytes:
+        import time
+
+        stats = self.stats = EngineStats()
+        stats.bytes_in = len(data)
+
+        t0 = time.perf_counter()
+        plan = build_batch_plan(data, max_window_size=self.max_window_size)
+        t1 = time.perf_counter()
+        lit_outs, lit_ok = self._run_literals(plan)
+        seq_outs, seq_ok = self._run_sequences(plan)
+        t2 = time.perf_counter()
+
+        stats.lit_lanes = plan.n_lit_lanes
+        stats.seq_lanes = plan.n_seq_lanes
+
+        out = bytearray()
+        for fp in plan.frames:
+            stats.frames += 1
+            if isinstance(fp.frame, SkippableFrame):
+                if include_skippable:
+                    out += fp.frame.payload
+                continue
+            stats.blocks += len(fp.blocks)
+            if fp.fallback or not _frame_lanes_ok(fp, lit_ok, seq_ok):
+                stats.fallback_frames += 1
+                out += decode_frame(fp.frame, verify_checksum=verify_checksum)
+                continue
+            frame_out = self._assemble_frame(fp, lit_outs, seq_outs)
+            header = fp.frame.header
+            if header.checksum_flag and verify_checksum:
+                computed = xxh64(frame_out) & 0xFFFFFFFF
+                if computed != fp.frame.checksum:
+                    raise ChecksumMismatch(computed, fp.frame.checksum)
+            if header.content_size is not None and len(frame_out) != header.content_size:
+                raise ImpossibleValue(
+                    f"frame decoded {len(frame_out)}, header says {header.content_size}"
+                )
+            out += frame_out
+        t3 = time.perf_counter()
+
+        stats.bytes_out = len(out)
+        stats.wall_s = {
+            "prepass": t1 - t0,
+            "kernels": t2 - t1,
+            "assembly": t3 - t2,
+            "total": t3 - t0,
+        }
+        return bytes(out)
+
+    def decompress(self, data, **kw) -> bytes:
+        return self.decompress_with_stats(data, **kw)
+
+
+def _bucket_lanes(counts: np.ndarray):
+    """Group lane indices by next-pow2 of their symbol count.
+
+    Returns [(lane_indices, max_steps)]; lanes with zero symbols are
+    dropped (nothing to decode).
+    """
+    counts = np.asarray(counts)
+    out = []
+    nonzero = np.flatnonzero(counts > 0)
+    if len(nonzero) == 0:
+        return out
+    keys = np.ones_like(counts)
+    keys[nonzero] = counts[nonzero]
+    buckets: dict[int, list[int]] = {}
+    for lane in nonzero:
+        key = _next_pow2(int(counts[lane]), lo=64)
+        buckets.setdefault(key, []).append(int(lane))
+    for key in sorted(buckets):
+        out.append((np.asarray(buckets[key], dtype=np.int64), key))
+    return out
+
+
+def _frame_lanes_ok(fp: FramePlan, lit_ok: np.ndarray, seq_ok: np.ndarray) -> bool:
+    for bp in fp.blocks:
+        for ref in bp.lit_streams:
+            if not lit_ok[ref.lane]:
+                return False
+        if bp.seq_lane >= 0 and not seq_ok[bp.seq_lane]:
+            return False
+    return True

@@ -85,18 +85,20 @@ def xxh64_py(data: bytes | memoryview, seed: int = 0) -> int:
 
 def _load_native():
     try:
-        from ..native import xxh64 as _native  # type: ignore
+        from .. import native
 
-        return _native.xxh64
+        if native.available():
+            return native.xxh64
     except Exception:
-        return None
+        pass
+    return None
 
 
 _native_xxh64 = _load_native()
 
 
-def xxh64(data: bytes | memoryview, seed: int = 0) -> int:
-    """XXH64 digest; uses the native implementation when available."""
+def xxh64(data, seed: int = 0) -> int:
+    """XXH64 digest; uses the native C implementation when available."""
     if _native_xxh64 is not None:
-        return _native_xxh64(bytes(data), seed)
+        return _native_xxh64(data, seed)
     return xxh64_py(data, seed)
