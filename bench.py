@@ -68,13 +68,13 @@ def main() -> None:
     report: dict = {}
 
     raw = build_corpus()
-    # Frame per ~4 MB chunk: multi-frame like a batch decode workload.
+    # One frame per 4 MiB chunk (stock 128 KiB blocks) — the standard
+    # batch-decode workload.
     chunk = 4 << 20
-    frames = [
+    comp = b"".join(
         libzstd.compress(raw[i : i + chunk], 3, checksum=True)
         for i in range(0, len(raw), chunk)
-    ]
-    comp = b"".join(frames)
+    )
 
     import jax
 

@@ -206,6 +206,75 @@ EXPORT int zt_execute_sequences(
     return ZT_OK;
 }
 
+/* --------------------------- LZ77 greedy matcher ------------------------ */
+
+/* Greedy hash-chain-free matcher (single-entry hash table, LZ4-style)
+ * for the encoder.  Scans src[block_start, block_end); matches may
+ * reach back into earlier blocks of the same frame (down to
+ * max(0, i - window)).  The 2^16-entry hash table `htab` (int32,
+ * -1-initialized) persists across per-block calls so cross-block
+ * matches resolve.  Emits (ll, offset, ml) runs plus the literal bytes;
+ * returns the number of sequences.  Trailing literals after the last
+ * sequence are appended to lit_out and counted in *lit_len_io.
+ */
+#define ZT_HASH_LOG 16
+#define ZT_MIN_MATCH 4
+
+static inline uint32_t zt_hash4(const uint8_t *p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return (v * 2654435761u) >> (32 - ZT_HASH_LOG);
+}
+
+EXPORT size_t zt_lz77_greedy(
+    const uint8_t *src, size_t block_start, size_t block_end, size_t window,
+    int32_t *htab /* [1<<ZT_HASH_LOG] */,
+    int32_t *ll_out, int32_t *off_out, int32_t *ml_out, size_t max_seqs,
+    uint8_t *lit_out, size_t *lit_len_io) {
+    size_t n_seq = 0;
+    size_t lit_len = 0;
+    size_t i = block_start;
+    size_t anchor = block_start;
+    /* Stop matching near the end so 4-byte loads stay in bounds. */
+    size_t match_limit = block_end >= ZT_MIN_MATCH ? block_end - ZT_MIN_MATCH : 0;
+
+    while (i < match_limit && n_seq < max_seqs) {
+        uint32_t h = zt_hash4(src + i);
+        int64_t cand = htab[h];
+        htab[h] = (int32_t)i;
+        size_t lo = i > window ? i - window : 0;
+        if (cand >= (int64_t)lo && cand >= 0 &&
+            memcmp(src + cand, src + i, ZT_MIN_MATCH) == 0) {
+            /* Extend forwards within the block. */
+            size_t len = ZT_MIN_MATCH;
+            size_t maxlen = block_end - i;
+            while (len < maxlen && src[cand + len] == src[i + len]) len++;
+            size_t ll = i - anchor;
+            memcpy(lit_out + lit_len, src + anchor, ll);
+            lit_len += ll;
+            ll_out[n_seq] = (int32_t)ll;
+            off_out[n_seq] = (int32_t)(i - (size_t)cand);
+            ml_out[n_seq] = (int32_t)len;
+            n_seq++;
+            /* Sparse insertions inside the match keep the table warm. */
+            {
+                size_t step = len > 64 ? 16 : 4;
+                for (size_t j = i + 1; j + ZT_MIN_MATCH < i + len; j += step)
+                    htab[zt_hash4(src + j)] = (int32_t)j;
+            }
+            i += len;
+            anchor = i;
+        } else {
+            i++;
+        }
+    }
+    /* Trailing literals. */
+    memcpy(lit_out + lit_len, src + anchor, block_end - anchor);
+    lit_len += block_end - anchor;
+    *lit_len_io = lit_len;
+    return n_seq;
+}
+
 /* --------------------- serial flat-table Huffman ------------------------ */
 
 /* Decode one backward Huffman stream with an 11-bit flat LUT

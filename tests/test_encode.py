@@ -1,0 +1,147 @@
+"""Encoder tests: round-trips through our decoder AND libzstd, ratio
+sanity vs libzstd, component golden checks (M4, BASELINE.json: encode
+output <= reference size is the long-term target; round-trip exactness
+is the hard gate)."""
+
+import numpy as np
+import pytest
+
+from zstd_tpu import encode
+from zstd_tpu.runtime.oracle import decompress as oracle
+from zstd_tpu.testing import libzstd
+
+pytestmark = pytest.mark.skipif(
+    not libzstd.available(), reason="libzstd not available"
+)
+
+
+def _cases():
+    rng = np.random.default_rng(42)
+    return {
+        "empty": b"",
+        "one": b"x",
+        "tiny": b"hello world",
+        "rle": bytes(10_000),
+        "rle_almost": bytes(5000) + b"x" + bytes(5000),
+        "text": b"the quick brown fox jumps over the lazy dog. " * 500,
+        "records": b"".join(
+            b"id=%08d|name=user%04d;" % (i, i % 7919) for i in range(8000)
+        ),
+        "random": rng.bytes(50_000),
+        "lowent": rng.choice(
+            np.frombuffer(b"abcdefgh", np.uint8),
+            120_000,
+            p=[0.3, 0.2, 0.15, 0.1, 0.1, 0.05, 0.05, 0.05],
+        ).tobytes(),
+        "multiblock": (b"payload %d " * 60_000) % tuple(range(60_000)),
+        "binary": bytes(range(256)) * 600,
+    }
+
+
+@pytest.mark.parametrize("name", list(_cases()))
+def test_roundtrip_both_decoders(name):
+    data = _cases()[name]
+    for level in (0, 3):
+        comp = encode.compress(data, level, checksum=True)
+        assert oracle(comp) == data, f"{name} lvl={level} oracle"
+        assert libzstd.decompress(comp) == data, f"{name} lvl={level} libzstd"
+
+
+def test_compression_actually_compresses():
+    data = _cases()["multiblock"]
+    comp = encode.compress(data, 3)
+    assert len(comp) < len(data) // 4
+    z = len(libzstd.compress(data, 1))
+    # Greedy single-probe matcher: stay within 10x of libzstd level 1
+    # (hash chains / lazy matching are future work, tracked in BASELINE.md).
+    assert len(comp) < 10 * z
+
+
+def test_incompressible_stays_raw():
+    data = np.random.default_rng(0).bytes(100_000)
+    comp = encode.compress(data, 3)
+    assert len(comp) < len(data) + 1024  # raw blocks + headers only
+
+
+def test_store_mode():
+    data = b"store me " * 1000
+    comp = encode.compress(data, 0)
+    assert oracle(comp) == data
+    assert len(comp) >= len(data)  # no compression attempted
+
+
+def test_checksum_written():
+    data = b"checksummed " * 100
+    comp = encode.compress(data, 3, checksum=True)
+    bad = comp[:-1] + bytes([comp[-1] ^ 1])
+    from zstd_tpu.utils.errors import ChecksumMismatch
+
+    with pytest.raises(ChecksumMismatch):
+        oracle(bad)
+
+
+def test_offsets_to_values_inverse():
+    # offsets -> values -> resolve round-trips through the decoder logic.
+    from zstd_tpu.ops.sequence_codes import resolve_offset
+
+    rng = np.random.default_rng(5)
+    ll = rng.integers(0, 3, 200)
+    offs = rng.integers(1, 50, 200)
+    enc_rep = [1, 4, 8]
+    vals = encode.offsets_to_values(ll, offs, enc_rep)
+    dec_rep = [1, 4, 8]
+    for i in range(200):
+        got = resolve_offset(int(vals[i]), int(ll[i]), dec_rep)
+        assert got == offs[i], i
+    assert enc_rep == dec_rep
+
+
+def test_pack_backward_stream_roundtrip():
+    from zstd_tpu.utils.bits import BackwardBitCursor
+
+    rng = np.random.default_rng(9)
+    nbits = rng.integers(0, 25, 500)
+    values = np.array([int(rng.integers(0, 1 << n)) if n else 0 for n in nbits])
+    data = encode.pack_backward_stream(values, nbits)
+    cur = BackwardBitCursor(data)
+    # Reader consumes in reverse write order.
+    for v, n in list(zip(values, nbits))[::-1]:
+        assert cur.take(int(n)) == int(v)
+    assert cur.is_empty
+
+
+def test_huffman_codes_complete():
+    rng = np.random.default_rng(3)
+    freqs = np.zeros(256, dtype=np.int64)
+    syms = rng.choice(256, 40, replace=False)
+    freqs[syms] = rng.integers(1, 10_000, 40)
+    codes, lengths, max_bits = encode.huffman_codes(freqs)
+    assert max_bits <= 11
+    # Kraft equality.
+    assert sum(1 << (max_bits - l) for l in lengths[lengths > 0]) == 1 << max_bits
+
+
+def test_fse_distribution_roundtrip():
+    from zstd_tpu.ops.fse import parse_fse_distribution
+    from zstd_tpu.utils.bits import ForwardBitCursor
+
+    freqs = np.array([100, 50, 3, 1, 0, 7, 900], dtype=np.int64)
+    al = 7
+    dist = encode.normalize_distribution(freqs, al)
+    assert int(np.where(dist == -1, 1, dist).sum()) == 1 << al
+    fb = encode.ForwardBits()
+    encode.serialize_fse_distribution(al, dist, fb)
+    got_al, got = parse_fse_distribution(ForwardBitCursor(fb.to_bytes()))
+    assert got_al == al
+    padded = list(dist)
+    while padded and padded[-1] == 0:
+        padded.pop()
+    assert got == padded
+
+
+def test_multi_frame_concat_with_reference_corpus(corpus):
+    # Our encoder's frames concatenate with libzstd frames.
+    mine = encode.compress(b"ours " * 500, 3, checksum=True)
+    data = corpus["romeo.txt.zst"] + mine
+    out = oracle(data)
+    assert out.endswith(b"ours " * 500)

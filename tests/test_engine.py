@@ -108,6 +108,16 @@ def test_bucketing():
         assert (counts[idx] <= steps).all()
 
 
+def test_device_execute_path(corpus):
+    # Pure-device LZ77 execution (pointer-doubling kernel) must match.
+    eng = DeviceEngine(device_execute=True)
+    data = corpus["romeo.txt.zst"]
+    assert eng.decompress(data) == libzstd.decompress(data)
+    payload = (b"device exec %d " * 800) % tuple(range(800))
+    comp = libzstd.compress(payload, 6, checksum=True)
+    assert eng.decompress(comp) == payload
+
+
 def test_stats_populated(engine):
     payload = b"stats payload " * 1000
     stats = _check(engine, payload, 6)

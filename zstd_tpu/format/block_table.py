@@ -58,6 +58,101 @@ def pack_fse_table(table: fse_ops.FseTable) -> np.ndarray:
     return out
 
 
+def pack_huffman_canonical(table: HuffmanTable) -> dict[str, np.ndarray]:
+    """Pack a Huffman table for the v2 arithmetic-canonical kernel.
+
+    Code-length classes laid out in the 11-bit window space (longest
+    codes first, canonical): per class k — ``limits[k]`` (end boundary),
+    ``prevs[k]`` (start), ``lengths[k]``, ``rankb[k]`` (first symbol
+    rank); plus ``ranked[256]`` mapping rank → symbol.  The kernel finds
+    the class with 12 compares and selects the symbol by rank — no LUT.
+    """
+    mb = table.max_bits
+    weights = table.weights
+    limits = np.full(12, 1 << 12, dtype=np.int32)  # unreachable pad
+    prevs = np.zeros(12, dtype=np.int32)
+    lengths = np.ones(12, dtype=np.int32)
+    rankb = np.zeros(12, dtype=np.int32)
+    ranked = np.zeros(256, dtype=np.int32)
+    cum = 0  # in 2^mb window units
+    rank = 0
+    cls = 0
+    scale = 11 - mb
+    for w in range(1, mb + 1):
+        syms = np.flatnonzero(weights == w)
+        if len(syms) == 0:
+            continue
+        span = len(syms) << (w - 1)
+        prevs[cls] = cum << scale
+        limits[cls] = (cum + span) << scale
+        lengths[cls] = mb + 1 - w
+        rankb[cls] = rank
+        ranked[rank : rank + len(syms)] = syms
+        rank += len(syms)
+        cum += span
+        cls += 1
+    return {
+        "limits": limits,
+        "prevs": prevs,
+        "lengths": lengths,
+        "rankb": rankb,
+        "ranked": ranked,
+    }
+
+
+def _fse_value_plane(symbols: np.ndarray, kind: str) -> np.ndarray:
+    """plane1 entries for a sequence-code table: value base/extra folded in.
+
+    LL/ML: ``value_base << 5 | extra_bits`` (RFC code tables,
+    sequence.rs:98-191).  OF: the code itself (value = (1 << code) +
+    extra, sequence.rs:50).  Raises on out-of-range codes so corrupt
+    tables fall back to the oracle at prepass time — the kernel then
+    needs no bounds checks.
+    """
+    from ..ops.sequence_codes import (
+        LL_BASELINE,
+        LL_EXTRA_BITS,
+        MAX_LL_CODE,
+        MAX_ML_CODE,
+        MAX_OFFSET_CODE,
+        ML_BASELINE,
+        ML_EXTRA_BITS,
+    )
+    from ..utils.errors import SymbolCodeTooLarge
+
+    s = symbols.astype(np.int64)
+    if kind == "of":
+        if s.max(initial=0) > MAX_OFFSET_CODE:
+            raise SymbolCodeTooLarge(f"offset code {s.max()} out of range")
+        return s.astype(np.int32)
+    if kind == "ll":
+        if s.max(initial=0) > MAX_LL_CODE:
+            raise SymbolCodeTooLarge(f"ll code {s.max()} out of range")
+        return (LL_BASELINE[s] << 5 | LL_EXTRA_BITS[s]).astype(np.int32)
+    if s.max(initial=0) > MAX_ML_CODE:
+        raise SymbolCodeTooLarge(f"ml code {s.max()} out of range")
+    return (ML_BASELINE[s] << 5 | ML_EXTRA_BITS[s]).astype(np.int32)
+
+
+def pack_fse_dual(table: fse_ops.FseTable, kind: str) -> tuple[np.ndarray, np.ndarray]:
+    """Pack an FSE table into the v2 dual planes (state-transition, value)."""
+    p0 = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
+    p1 = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
+    p0[: table.size] = (
+        table.baseline.astype(np.int32) << 16 | table.nbits.astype(np.int32)
+    )
+    p1[: table.size] = _fse_value_plane(np.asarray(table.symbol), kind)
+    return p0, p1
+
+
+def pack_rle_dual(byte: int, kind: str) -> tuple[np.ndarray, np.ndarray]:
+    """RLE mode as a single-state FSE table (baseline 0, 0 bits)."""
+    p0 = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
+    p1 = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
+    p1[0] = _fse_value_plane(np.asarray([byte]), kind)[0]
+    return p0, p1
+
+
 def pack_rle_table(byte: int) -> np.ndarray:
     """An RLE sequence-code 'table': one state, zero bits (AL = 0).
 
@@ -70,17 +165,28 @@ def pack_rle_table(byte: int) -> np.ndarray:
 
 
 class _FseBank:
-    """Slot allocator for FSE/RLE sequence tables shipped to the device."""
+    """Slot allocator for FSE/RLE sequence tables shipped to the device.
+
+    Slots are kind-specific ('ll'/'of'/'ml') because the v2 value plane
+    folds the kind's code→value table into each state entry.  Packing
+    validates symbol ranges; out-of-range codes raise and the frame
+    falls back to the oracle.
+    """
 
     def __init__(self) -> None:
-        self.tables: list[np.ndarray] = []
+        self.tables: list[np.ndarray] = []  # v1 packed (512,)
+        self.p0s: list[np.ndarray] = []  # v2 transition plane
+        self.p1s: list[np.ndarray] = []  # v2 value plane
         self.als: list[int] = []
         self._predef: dict[str, int] = {}
-        self._rle: dict[int, int] = {}
+        self._rle: dict[tuple[str, int], int] = {}
 
-    def add(self, packed: np.ndarray, al: int) -> int:
-        self.tables.append(packed)
-        self.als.append(al)
+    def add(self, table: fse_ops.FseTable, kind: str) -> int:
+        p0, p1 = pack_fse_dual(table, kind)  # may raise SymbolCodeTooLarge
+        self.tables.append(pack_fse_table(table))
+        self.p0s.append(p0)
+        self.p1s.append(p1)
+        self.als.append(table.accuracy_log)
         return len(self.tables) - 1
 
     def predefined(self, kind: str) -> int:
@@ -90,21 +196,30 @@ class _FseBank:
                 "of": fse_ops.PREDEFINED_OF_TABLE,
                 "ml": fse_ops.PREDEFINED_ML_TABLE,
             }[kind]
-            self._predef[kind] = self.add(pack_fse_table(table), table.accuracy_log)
+            self._predef[kind] = self.add(table, kind)
         return self._predef[kind]
 
-    def rle(self, byte: int) -> int:
-        if byte not in self._rle:
-            self._rle[byte] = self.add(pack_rle_table(byte), 0)
-        return self._rle[byte]
+    def rle(self, byte: int, kind: str) -> int:
+        key = (kind, byte)
+        if key not in self._rle:
+            p0, p1 = pack_rle_dual(byte, kind)  # may raise
+            self.tables.append(pack_rle_table(byte))
+            self.p0s.append(p0)
+            self.p1s.append(p1)
+            self.als.append(0)
+            self._rle[key] = len(self.tables) - 1
+        return self._rle[key]
 
-    def stack(self) -> tuple[np.ndarray, np.ndarray]:
+    def stack(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         if not self.tables:
-            return (
-                np.zeros((1, FSE_SLOT_SIZE), dtype=np.int32),
-                np.zeros(1, dtype=np.int32),
-            )
-        return np.stack(self.tables), np.asarray(self.als, dtype=np.int32)
+            z = np.zeros((1, FSE_SLOT_SIZE), dtype=np.int32)
+            return z, np.zeros(1, dtype=np.int32), z.copy(), z.copy()
+        return (
+            np.stack(self.tables),
+            np.asarray(self.als, dtype=np.int32),
+            np.stack(self.p0s),
+            np.stack(self.p1s),
+        )
 
 
 class _WordBuffer:
@@ -186,8 +301,16 @@ class BatchPlan:
     seq_ll_al: np.ndarray
     seq_of_al: np.ndarray
     seq_ml_al: np.ndarray
-    fse_tables: np.ndarray  # (n_slots, 512) int32
+    fse_tables: np.ndarray  # (n_slots, 512) int32 (v1 packed)
     fse_als: np.ndarray
+    # v2 table forms:
+    fse_p0: np.ndarray  # (n_slots, 512) int32 transition plane
+    fse_p1: np.ndarray  # (n_slots, 512) int32 value plane
+    huff_limits: np.ndarray  # (n_tables, 12) int32
+    huff_prevs: np.ndarray
+    huff_lengths: np.ndarray
+    huff_rankb: np.ndarray
+    huff_ranked: np.ndarray  # (n_tables, 256) int32
 
     @property
     def n_lit_lanes(self) -> int:
@@ -203,6 +326,7 @@ class _Builder:
         self.wb = _WordBuffer()
         self.fse = _FseBank()
         self.huff_luts: list[np.ndarray] = []
+        self.huff_canon: list[dict[str, np.ndarray]] = []
         self.lit = {k: [] for k in ("base", "p0", "regen", "slot")}
         self.seq = {
             k: []
@@ -259,10 +383,10 @@ def _resolve_seq_slot(
         slot = builder.fse.predefined(kind)
         return slot, builder.fse.als[slot]
     if desc.mode == SeqMode.RLE:
-        return builder.fse.rle(desc.rle_byte), 0
+        return builder.fse.rle(desc.rle_byte, kind), 0
     if desc.mode == SeqMode.FSE:
         t = desc.fse_table
-        return builder.fse.add(pack_fse_table(t), t.accuracy_log), t.accuracy_log
+        return builder.fse.add(t, kind), t.accuracy_log
     return current  # REPEAT (None when there is no previous table)
 
 
@@ -318,6 +442,7 @@ def build_batch_plan(
                         fp.fallback, fp.fallback_reason = True, f"huffman: {e}"
                         continue
                     builder.huff_luts.append(pack_huffman_lut(table))
+                    builder.huff_canon.append(pack_huffman_canonical(table))
                     huff_slot = len(builder.huff_luts) - 1
                 if huff_slot is None:
                     fp.fallback, fp.fallback_reason = True, "treeless w/o table"
@@ -341,7 +466,11 @@ def build_batch_plan(
                 continue
             specs = []
             for kind, desc in (("ll", seq.ll), ("of", seq.of), ("ml", seq.ml)):
-                spec = _resolve_seq_slot(builder, kind, desc, cur[kind])
+                try:
+                    spec = _resolve_seq_slot(builder, kind, desc, cur[kind])
+                except ZstdError as e:
+                    fp.fallback, fp.fallback_reason = True, f"{kind} table: {e}"
+                    break
                 if spec is None:
                     fp.fallback, fp.fallback_reason = True, f"repeat {kind} w/o table"
                     break
@@ -355,12 +484,25 @@ def build_batch_plan(
             bp.seq_lane = lane
             cur["ll"], cur["of"], cur["ml"] = specs
 
-    fse_tables, fse_als = builder.fse.stack()
+    fse_tables, fse_als, fse_p0, fse_p1 = builder.fse.stack()
     huff_luts = (
         np.stack(builder.huff_luts)
         if builder.huff_luts
         else np.zeros((1, HUFF_LUT_SIZE), dtype=np.int32)
     )
+    if builder.huff_canon:
+        canon = {
+            key: np.stack([c[key] for c in builder.huff_canon])
+            for key in ("limits", "prevs", "lengths", "rankb", "ranked")
+        }
+    else:
+        canon = {
+            "limits": np.full((1, 12), 1 << 12, dtype=np.int32),
+            "prevs": np.zeros((1, 12), dtype=np.int32),
+            "lengths": np.ones((1, 12), dtype=np.int32),
+            "rankb": np.zeros((1, 12), dtype=np.int32),
+            "ranked": np.zeros((1, 256), dtype=np.int32),
+        }
     i32 = lambda xs: np.asarray(xs, dtype=np.int32)  # noqa: E731
     return BatchPlan(
         frames=frames,
@@ -381,4 +523,11 @@ def build_batch_plan(
         seq_ml_al=i32(builder.seq["ml_al"]),
         fse_tables=fse_tables,
         fse_als=fse_als,
+        fse_p0=fse_p0,
+        fse_p1=fse_p1,
+        huff_limits=canon["limits"],
+        huff_prevs=canon["prevs"],
+        huff_lengths=canon["lengths"],
+        huff_rankb=canon["rankb"],
+        huff_ranked=canon["ranked"],
     )

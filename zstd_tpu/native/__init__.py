@@ -77,6 +77,20 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_size_t,  # n
             ctypes.c_void_p,  # rep uint64[3]
         ]
+        lib.zt_lz77_greedy.restype = ctypes.c_size_t
+        lib.zt_lz77_greedy.argtypes = [
+            ctypes.c_void_p,  # src
+            ctypes.c_size_t,  # block_start
+            ctypes.c_size_t,  # block_end
+            ctypes.c_size_t,  # window
+            ctypes.c_void_p,  # htab int32[1<<16]
+            ctypes.c_void_p,  # ll_out
+            ctypes.c_void_p,  # off_out
+            ctypes.c_void_p,  # ml_out
+            ctypes.c_size_t,  # max_seqs
+            ctypes.c_void_p,  # lit_out
+            ctypes.POINTER(ctypes.c_size_t),  # lit_len io
+        ]
         lib.zt_huffman_decode_stream.restype = ctypes.c_int
         lib.zt_huffman_decode_stream.argtypes = [
             ctypes.c_char_p,
@@ -156,6 +170,51 @@ def execute_sequences(
     if status != 0:
         raise ValueError(f"sequence execution failed: {_STATUS.get(status, status)}")
     return out_len_c.value
+
+
+HASH_LOG = 16
+
+
+def new_match_table() -> np.ndarray:
+    """Fresh hash table for :func:`lz77_greedy` (persists across blocks)."""
+    return np.full(1 << HASH_LOG, -1, dtype=np.int32)
+
+
+def lz77_greedy(
+    src: np.ndarray,
+    block_start: int,
+    block_end: int,
+    window: int,
+    htab: np.ndarray,
+):
+    """Greedy LZ77 over src[block_start:block_end] with frame history.
+
+    Returns (ll, off, ml) int32 arrays and the literal bytes.
+    """
+    lib = _load()
+    if lib is None:
+        raise NativeUnavailable("native library not built")
+    n = block_end - block_start
+    max_seqs = n // 4 + 1
+    ll = np.empty(max_seqs, dtype=np.int32)
+    off = np.empty(max_seqs, dtype=np.int32)
+    ml = np.empty(max_seqs, dtype=np.int32)
+    lit = np.empty(n, dtype=np.uint8)
+    lit_len = ctypes.c_size_t(0)
+    n_seq = lib.zt_lz77_greedy(
+        src.ctypes.data,
+        block_start,
+        block_end,
+        window,
+        htab.ctypes.data,
+        ll.ctypes.data,
+        off.ctypes.data,
+        ml.ctypes.data,
+        max_seqs,
+        lit.ctypes.data,
+        ctypes.byref(lit_len),
+    )
+    return ll[:n_seq], off[:n_seq], ml[:n_seq], lit[: lit_len.value]
 
 
 def huffman_decode_stream(

@@ -123,37 +123,43 @@ def build_fse_table(accuracy_log: int, distribution: list[int] | np.ndarray) -> 
 
     # Less-than-one symbols take single states at the table's tail, in
     # increasing symbol order from the last index downward.
-    high_threshold = size
     m1_syms = np.flatnonzero(dist == -1)
-    for s in m1_syms:
-        high_threshold -= 1
-        symbol[high_threshold] = s
+    high_threshold = size - n_m1
+    if n_m1:
+        symbol[high_threshold:] = m1_syms[::-1]
 
     # Spread positive-probability symbols, skipping the reserved tail.
+    # The skip rule just advances to the next point of the fixed visit
+    # sequence (k*step) & mask, so the occupied positions are the first
+    # pos_total sequence values below the threshold — vectorizable.
     step = (size >> 1) + (size >> 3) + 3
     mask = size - 1
-    position = 0
-    for s in np.flatnonzero(dist > 0):
-        for _ in range(int(dist[s])):
-            symbol[position] = s
-            position = (position + step) & mask
-            while position >= high_threshold:
-                position = (position + step) & mask
-    if position != 0:
-        raise CorruptedTable("spread did not return to origin")
+    pos_syms = np.flatnonzero(dist > 0)
+    if pos_total:
+        # step is odd and size a power of two, so the visit sequence is a
+        # permutation of [0, size); exactly high_threshold == pos_total
+        # of its values land below the threshold, and the post-spread
+        # position provably wraps to 0 (the reference's explicit check).
+        visit = (np.arange(size, dtype=np.int64) * step) & mask
+        keep = visit[visit < high_threshold]
+        symbol[keep] = np.repeat(pos_syms, dist[pos_syms].astype(np.int64))
 
-    # Single-pass baseline/nbits: per-symbol counter starts at its
-    # probability (1 for the -1 tail states) and increments in table order.
-    counters = np.where(dist > 0, dist, 1).astype(np.int64)
+    # Baseline/nbits: the k-th state of a symbol (in table order) has
+    # counter c = prob + k; nbits = AL - floor(log2 c); baseline =
+    # (c << nbits) - size.  Grouped computation via a stable argsort.
+    order = np.argsort(symbol, kind="stable")
+    sorted_syms = symbol[order]
+    group_start = np.searchsorted(sorted_syms, sorted_syms)
+    probs = np.where(dist > 0, dist, 1).astype(np.int64)
+    counters = probs[sorted_syms] + (np.arange(size) - group_start)
+    # floor(log2 c) == frexp exponent - 1, exact for c < 2^53.
+    floor_log2 = np.frexp(counters.astype(np.float64))[1].astype(np.int64) - 1
+    nb_sorted = accuracy_log - floor_log2
+    base_sorted = (counters << nb_sorted) - size
     baseline = np.zeros(size, dtype=np.uint16)
     nbits = np.zeros(size, dtype=np.uint8)
-    for i in range(size):
-        s = symbol[i]
-        c = int(counters[s])
-        counters[s] += 1
-        nb = accuracy_log - (c.bit_length() - 1)
-        nbits[i] = nb
-        baseline[i] = (c << nb) - size
+    baseline[order] = base_sorted.astype(np.uint16)
+    nbits[order] = nb_sorted.astype(np.uint8)
 
     return FseTable(
         accuracy_log=accuracy_log, symbol=symbol, baseline=baseline, nbits=nbits

@@ -71,21 +71,37 @@ class EngineStats:
 class DeviceEngine:
     """Batched decoder over one JAX device (CPU or TPU)."""
 
-    def __init__(self, *, max_window_size: int = MAX_WINDOW_SIZE, device=None):
+    def __init__(
+        self,
+        *,
+        max_window_size: int = MAX_WINDOW_SIZE,
+        device=None,
+        device_execute: bool = False,
+    ):
         from .jaxcache import enable_compilation_cache
 
         enable_compilation_cache()
         self.max_window_size = max_window_size
         self.device = device
+        # Pure-device LZ77 execution (kernels/lz77_device.py) instead of
+        # the native C executor — see that module for the tradeoff.
+        self.device_execute = device_execute
         self.stats = EngineStats()
 
     # -- kernel dispatch ----------------------------------------------------
 
     def _run_literals(self, plan: BatchPlan):
-        """Decode all literal lanes; returns (outputs per lane, ok flags)."""
+        """Decode all literal streams in ONE queue-kernel call.
+
+        Streams are grouped by Huffman table and packed into balanced
+        per-lane queues (runtime/schedule.py); output attribution is
+        positional (each stream occupies ceil(regen/32) steps of its
+        lane's column).
+        """
         import jax.numpy as jnp
 
-        from ..kernels.entropy import decode_literals_batch
+        from ..kernels.entropy2 import LIT_SYMS_PER_STEP, decode_literals_q
+        from .schedule import pack_literal_queues
 
         n = plan.n_lit_lanes
         outs: list[np.ndarray | None] = [None] * n
@@ -93,37 +109,54 @@ class DeviceEngine:
         if n == 0:
             return outs, ok
 
-        words = jnp.asarray(plan.words)
-        luts = jnp.asarray(plan.huff_luts)
-        for idx, steps in _bucket_lanes(plan.lit_regen):
-            pad = _next_pow2(len(idx)) - len(idx)
-            sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
-            syms, lane_ok = decode_literals_batch(
-                words,
-                jnp.asarray(plan.lit_base[sel]),
-                jnp.asarray(plan.lit_p0[sel]),
-                jnp.asarray(
-                    np.where(
-                        np.arange(len(sel)) < len(idx), plan.lit_regen[sel], 0
-                    ).astype(np.int32)
-                ),
-                jnp.asarray(plan.lit_slot[sel]),
-                luts,
-                max_steps=steps,
-            )
-            self.stats.kernel_calls += 1
-            syms = np.asarray(syms)  # (steps, lanes)
-            lane_ok = np.asarray(lane_ok)
-            for j, lane in enumerate(idx):
-                outs[lane] = syms[: plan.lit_regen[lane], j]
-                ok[lane] = lane_ok[j]
+        qp = pack_literal_queues(plan)
+        rep = qp.lane_rep
+        slots = plan.lit_slot[rep]
+        steps = _next_pow2(qp.max_steps, lo=4)
+        ys, lane_ok = decode_literals_q(
+            jnp.asarray(plan.words),
+            jnp.asarray(qp.q_base),
+            jnp.asarray(qp.q_p0),
+            jnp.asarray(qp.q_count),
+            jnp.asarray(qp.qlen),
+            jnp.asarray(plan.huff_limits[slots]),
+            jnp.asarray(plan.huff_prevs[slots]),
+            jnp.asarray(plan.huff_lengths[slots]),
+            jnp.asarray(plan.huff_rankb[slots]),
+            jnp.asarray(plan.huff_ranked[slots]),
+            max_steps=steps,
+        )
+        self.stats.kernel_calls += 1
+        arr = np.asarray(ys)  # (steps, 8, L) uint32
+        lane_ok = np.asarray(lane_ok)
+        flat = (
+            np.ascontiguousarray(arr.transpose(2, 0, 1))
+            .reshape(arr.shape[2], -1)
+            .view(np.uint8)
+        )
+        # Positional attribution: stream k of a lane starts after its
+        # predecessors' max(ceil(regen/32), 1) steps.
+        for s, (lane, k) in qp.placement.items():
+            off = 0
+            for j in range(k):
+                prev = int(qp.q_count[lane, j])
+                off += max(-(-prev // LIT_SYMS_PER_STEP), 1)
+            regen = plan.lit_regen[s]
+            outs[s] = flat[lane, off * LIT_SYMS_PER_STEP : off * LIT_SYMS_PER_STEP + regen]
+            ok[s] = lane_ok[lane]
         return outs, ok
 
     def _run_sequences(self, plan: BatchPlan):
-        """Decode all sequence lanes; returns (triples per lane, ok flags)."""
+        """Decode all sequence streams in ONE queue-kernel call.
+
+        Streams are grouped by (LL, OF, ML) table triple; each lane's
+        valid slots, in order, are its streams' sequences concatenated —
+        split by sequence counts.
+        """
         import jax.numpy as jnp
 
-        from ..kernels.entropy import decode_sequences_batch
+        from ..kernels.entropy2 import decode_sequences_q
+        from .schedule import pack_seq_queues
 
         n = plan.n_seq_lanes
         outs: list[tuple | None] = [None] * n
@@ -131,33 +164,55 @@ class DeviceEngine:
         if n == 0:
             return outs, ok
 
-        words = jnp.asarray(plan.words)
-        tables = jnp.asarray(plan.fse_tables)
-        for idx, steps in _bucket_lanes(plan.seq_nseq):
-            pad = _next_pow2(len(idx)) - len(idx)
-            sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
-            active = np.arange(len(sel)) < len(idx)
-            ll, ofv, ml, lane_ok = decode_sequences_batch(
-                words,
-                jnp.asarray(plan.seq_base[sel]),
-                jnp.asarray(plan.seq_p0[sel]),
-                jnp.asarray(np.where(active, plan.seq_nseq[sel], 1).astype(np.int32)),
-                jnp.asarray(plan.seq_ll_slot[sel]),
-                jnp.asarray(plan.seq_of_slot[sel]),
-                jnp.asarray(plan.seq_ml_slot[sel]),
-                jnp.asarray(plan.seq_ll_al[sel]),
-                jnp.asarray(plan.seq_of_al[sel]),
-                jnp.asarray(plan.seq_ml_al[sel]),
-                tables,
-                max_steps=steps,
+        qp = pack_seq_queues(plan)
+        rep = qp.lane_rep
+        ll_s = plan.seq_ll_slot[rep]
+        of_s = plan.seq_of_slot[rep]
+        ml_s = plan.seq_ml_slot[rep]
+        steps = _next_pow2(qp.max_steps, lo=2)
+        ll, ofv, ml, valid, lane_ok = decode_sequences_q(
+            jnp.asarray(plan.words),
+            jnp.asarray(qp.q_base),
+            jnp.asarray(qp.q_p0),
+            jnp.asarray(qp.q_count),
+            jnp.asarray(qp.qlen),
+            jnp.asarray(plan.fse_p0[ll_s]),
+            jnp.asarray(plan.fse_p1[ll_s]),
+            jnp.asarray(plan.fse_p0[of_s]),
+            jnp.asarray(plan.fse_p1[of_s]),
+            jnp.asarray(plan.fse_p0[ml_s]),
+            jnp.asarray(plan.fse_p1[ml_s]),
+            jnp.asarray(plan.seq_ll_al[rep]),
+            jnp.asarray(plan.seq_of_al[rep]),
+            jnp.asarray(plan.seq_ml_al[rep]),
+            max_steps=steps,
+        )
+        self.stats.kernel_calls += 1
+
+        to_flat = lambda a: np.ascontiguousarray(  # noqa: E731
+            np.asarray(a).transpose(2, 0, 1)
+        ).reshape(np.asarray(a).shape[2], -1)
+        vll, vof, vml, vva = map(to_flat, (ll, ofv, ml, valid))
+        lane_ok = np.asarray(lane_ok)
+
+        lane_cache: dict[int, tuple] = {}
+        for s, (lane, k) in qp.placement.items():
+            if lane not in lane_cache:
+                mask = vva[lane].astype(bool)
+                lane_cache[lane] = (
+                    vll[lane][mask],
+                    vof[lane][mask],
+                    vml[lane][mask],
+                )
+            clls, cofs, cmls = lane_cache[lane]
+            start = int(qp.q_count[lane, :k].sum())
+            ns = int(qp.q_count[lane, k])
+            outs[s] = (
+                clls[start : start + ns],
+                cofs[start : start + ns],
+                cmls[start : start + ns],
             )
-            self.stats.kernel_calls += 1
-            ll, ofv, ml = np.asarray(ll), np.asarray(ofv), np.asarray(ml)
-            lane_ok = np.asarray(lane_ok)
-            for j, lane in enumerate(idx):
-                ns = plan.seq_nseq[lane]
-                outs[lane] = (ll[:ns, j], ofv[:ns, j], ml[:ns, j])
-                ok[lane] = lane_ok[j]
+            ok[s] = lane_ok[lane] and len(outs[s][0]) == ns
         return outs, ok
 
     # -- assembly -----------------------------------------------------------
@@ -168,7 +223,10 @@ class DeviceEngine:
         With the native runtime available: exact-size preallocation
         (block sizes are known once the sequence triples are decoded)
         and memcpy-chunked execution in C.  Otherwise: pure-Python path.
+        With ``device_execute``: the pointer-doubling device kernel.
         """
+        if self.device_execute:
+            return self._assemble_frame_device(fp, lit_outs, seq_outs)
         try:
             from .. import native
 
@@ -230,6 +288,53 @@ class DeviceEngine:
             except ValueError as e:
                 raise ImpossibleValue(str(e)) from None
         return memoryview(out)[:out_len]
+
+    def _assemble_frame_device(self, fp: FramePlan, lit_outs, seq_outs):
+        """Pure-device execution: build per-block source-map programs and
+        run the pointer-doubling kernel (kernels/lz77_device.py)."""
+        from ..kernels.lz77_device import build_source_map, execute_frame_on_device
+
+        programs = []
+        rep = list(INITIAL_REPEAT_OFFSETS)
+        out_base = 0
+        for bp in fp.blocks:
+            if bp.kind == BlockType.RAW:
+                arr = np.frombuffer(bp.raw, dtype=np.uint8)
+                programs.append(("bytes", arr))
+                out_base += len(arr)
+                continue
+            if bp.kind == BlockType.RLE:
+                programs.append(
+                    ("bytes", np.full(bp.rle_repeat, bp.rle_byte, dtype=np.uint8))
+                )
+                out_base += bp.rle_repeat
+                continue
+            if bp.lit_kind == LiteralsType.RAW:
+                literals = np.frombuffer(bp.lit_raw, dtype=np.uint8)
+            elif bp.lit_kind == LiteralsType.RLE:
+                literals = np.full(bp.lit_regen, bp.lit_rle_byte, dtype=np.uint8)
+            else:
+                parts = [lit_outs[r.lane] for r in bp.lit_streams if r.regen]
+                literals = (
+                    np.concatenate(parts) if parts else np.empty(0, np.uint8)
+                )
+            if bp.seq_lane < 0:
+                programs.append(("bytes", literals))
+                out_base += len(literals)
+                continue
+            ll, ofv, ml = seq_outs[bp.seq_lane]
+            triples = list(zip(ll.tolist(), ofv.tolist(), ml.tolist()))
+            src, total = build_source_map(triples, len(literals), rep, out_base)
+            # Every match byte must reference already-materialized output.
+            match_srcs = src[src >= 0]
+            if match_srcs.size and (
+                match_srcs.min() < 0
+                or (match_srcs >= out_base + np.flatnonzero(src >= 0)).any()
+            ):
+                raise ImpossibleValue("match references future or pre-frame data")
+            programs.append(("seq", (src, literals)))
+            out_base += total
+        return execute_frame_on_device(programs)
 
     def _assemble_block(
         self,
@@ -327,10 +432,10 @@ class DeviceEngine:
         return self.decompress_with_stats(data, **kw)
 
 
-def _bucket_lanes(counts: np.ndarray):
-    """Group lane indices by next-pow2 of their symbol count.
+def _bucket_lanes(counts: np.ndarray, lo: int = 64):
+    """Group lane indices by next-pow2 of their step count.
 
-    Returns [(lane_indices, max_steps)]; lanes with zero symbols are
+    Returns [(lane_indices, max_steps)]; lanes with zero steps are
     dropped (nothing to decode).
     """
     counts = np.asarray(counts)
@@ -338,11 +443,9 @@ def _bucket_lanes(counts: np.ndarray):
     nonzero = np.flatnonzero(counts > 0)
     if len(nonzero) == 0:
         return out
-    keys = np.ones_like(counts)
-    keys[nonzero] = counts[nonzero]
     buckets: dict[int, list[int]] = {}
     for lane in nonzero:
-        key = _next_pow2(int(counts[lane]), lo=64)
+        key = _next_pow2(int(counts[lane]), lo=lo)
         buckets.setdefault(key, []).append(int(lane))
     for key in sorted(buckets):
         out.append((np.asarray(buckets[key], dtype=np.int64), key))
