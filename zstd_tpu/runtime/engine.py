@@ -77,6 +77,7 @@ class DeviceEngine:
         max_window_size: int = MAX_WINDOW_SIZE,
         device=None,
         device_execute: bool = False,
+        queue_kernels: bool = False,
     ):
         from .jaxcache import enable_compilation_cache
 
@@ -86,11 +87,141 @@ class DeviceEngine:
         # Pure-device LZ77 execution (kernels/lz77_device.py) instead of
         # the native C executor — see that module for the tradeoff.
         self.device_execute = device_execute
+        # Work-conserving queue kernels (one call per phase) vs bucketed
+        # per-stream dispatch.  Bucketing measures faster on this relay
+        # for low-stream-count workloads; queues win when streams >>
+        # lanes (see BASELINE.md).
+        self.queue_kernels = queue_kernels
         self.stats = EngineStats()
 
     # -- kernel dispatch ----------------------------------------------------
 
     def _run_literals(self, plan: BatchPlan):
+        if self.queue_kernels:
+            return self._run_literals_queued(plan)
+        return self._run_literals_bucketed(plan)
+
+    def _run_sequences(self, plan: BatchPlan):
+        if self.queue_kernels:
+            return self._run_sequences_queued(plan)
+        return self._run_sequences_bucketed(plan)
+
+    def _run_literals_bucketed(self, plan: BatchPlan):
+        """Bucketed per-stream dispatch of the v2 literals kernel.
+
+        Lanes = streams, bucketed by next-pow2 step count; all calls are
+        dispatched before any result is fetched so device work pipelines
+        past the relay's per-call sync cost.
+        """
+        import jax.numpy as jnp
+
+        from ..kernels.entropy2 import LIT_SYMS_PER_STEP, decode_literals_v2
+
+        n = plan.n_lit_lanes
+        outs: list[np.ndarray | None] = [None] * n
+        ok = np.ones(n, dtype=bool)
+        if n == 0:
+            return outs, ok
+
+        words = jnp.asarray(plan.words)
+        ceil_steps = -(-plan.lit_regen // LIT_SYMS_PER_STEP)
+        pending = []
+        for idx, steps in _bucket_lanes(ceil_steps, lo=4):
+            pad = _next_pow2(len(idx)) - len(idx)
+            sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
+            regen = np.where(
+                np.arange(len(sel)) < len(idx), plan.lit_regen[sel], 0
+            ).astype(np.int32)
+            slots = plan.lit_slot[sel]
+            ys, lane_ok = decode_literals_v2(
+                words,
+                jnp.asarray(plan.lit_base[sel]),
+                jnp.asarray(plan.lit_p0[sel]),
+                jnp.asarray(regen),
+                jnp.asarray(plan.huff_limits[slots]),
+                jnp.asarray(plan.huff_prevs[slots]),
+                jnp.asarray(plan.huff_lengths[slots]),
+                jnp.asarray(plan.huff_rankb[slots]),
+                jnp.asarray(plan.huff_ranked[slots]),
+                max_steps=steps,
+            )
+            self.stats.kernel_calls += 1
+            pending.append((idx, ys, lane_ok))
+
+        for idx, ys, lane_ok in pending:
+            arr = np.asarray(ys)  # (steps, 8, L) uint32
+            lane_ok = np.asarray(lane_ok)
+            flat = (
+                np.ascontiguousarray(arr.transpose(2, 0, 1))
+                .reshape(arr.shape[2], -1)
+                .view(np.uint8)
+            )
+            for j, lane in enumerate(idx):
+                outs[lane] = flat[j, : plan.lit_regen[lane]]
+                ok[lane] = lane_ok[j]
+        return outs, ok
+
+    def _run_sequences_bucketed(self, plan: BatchPlan):
+        """Bucketed per-stream dispatch of the v2 sequences kernel."""
+        import jax.numpy as jnp
+
+        from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP, decode_sequences_v2
+
+        n = plan.n_seq_lanes
+        outs: list[tuple | None] = [None] * n
+        ok = np.ones(n, dtype=bool)
+        if n == 0:
+            return outs, ok
+
+        words = jnp.asarray(plan.words)
+        slots_needed = plan.seq_nseq + plan.seq_p0 // 64 + 4
+        ceil_steps = -(-slots_needed // SEQ_SLOTS_PER_STEP)
+        pending = []
+        for idx, steps in _bucket_lanes(ceil_steps, lo=2):
+            pad = _next_pow2(len(idx)) - len(idx)
+            sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
+            nseq = np.where(
+                np.arange(len(sel)) < len(idx), plan.seq_nseq[sel], 0
+            ).astype(np.int32)
+            ll_s, of_s, ml_s = (
+                plan.seq_ll_slot[sel],
+                plan.seq_of_slot[sel],
+                plan.seq_ml_slot[sel],
+            )
+            res = decode_sequences_v2(
+                words,
+                jnp.asarray(plan.seq_base[sel]),
+                jnp.asarray(plan.seq_p0[sel]),
+                jnp.asarray(nseq),
+                jnp.asarray(plan.fse_p0[ll_s]),
+                jnp.asarray(plan.fse_p1[ll_s]),
+                jnp.asarray(plan.fse_p0[of_s]),
+                jnp.asarray(plan.fse_p1[of_s]),
+                jnp.asarray(plan.fse_p0[ml_s]),
+                jnp.asarray(plan.fse_p1[ml_s]),
+                jnp.asarray(plan.seq_ll_al[sel]),
+                jnp.asarray(plan.seq_of_al[sel]),
+                jnp.asarray(plan.seq_ml_al[sel]),
+                max_steps=steps,
+            )
+            self.stats.kernel_calls += 1
+            pending.append((idx, res))
+
+        for idx, (ll, ofv, ml, valid, lane_ok) in pending:
+            to_flat = lambda a: np.ascontiguousarray(  # noqa: E731
+                np.asarray(a).transpose(2, 0, 1)
+            ).reshape(np.asarray(a).shape[2], -1)
+            vll, vof, vml, vva = map(to_flat, (ll, ofv, ml, valid))
+            lane_ok = np.asarray(lane_ok)
+            for j, lane in enumerate(idx):
+                mask = vva[j].astype(bool)
+                ns = plan.seq_nseq[lane]
+                lls = vll[j][mask][:ns]
+                outs[lane] = (lls, vof[j][mask][:ns], vml[j][mask][:ns])
+                ok[lane] = lane_ok[j] and len(lls) == ns
+        return outs, ok
+
+    def _run_literals_queued(self, plan: BatchPlan):
         """Decode all literal streams in ONE queue-kernel call.
 
         Streams are grouped by Huffman table and packed into balanced
@@ -129,7 +260,7 @@ class DeviceEngine:
         self.stats.kernel_calls += 1
         arr = np.asarray(ys)  # (steps, 8, L) uint32
         lane_ok = np.asarray(lane_ok)
-        flat = (
+        flat_q = (
             np.ascontiguousarray(arr.transpose(2, 0, 1))
             .reshape(arr.shape[2], -1)
             .view(np.uint8)
@@ -142,7 +273,9 @@ class DeviceEngine:
                 prev = int(qp.q_count[lane, j])
                 off += max(-(-prev // LIT_SYMS_PER_STEP), 1)
             regen = plan.lit_regen[s]
-            outs[s] = flat[lane, off * LIT_SYMS_PER_STEP : off * LIT_SYMS_PER_STEP + regen]
+            outs[s] = flat_q[
+                lane, off * LIT_SYMS_PER_STEP : off * LIT_SYMS_PER_STEP + regen
+            ]
             ok[s] = lane_ok[lane]
         return outs, ok
 
