@@ -121,6 +121,52 @@ def test_huffman_codes_complete():
     assert sum(1 << (max_bits - l) for l in lengths[lengths > 0]) == 1 << max_bits
 
 
+def test_weights_serialization_roundtrip():
+    # Direct and FSE-compressed weight forms parse back identically
+    # (the FSE form exercises the two-state alternating decoder).
+    from zstd_tpu.ops.huffman import parse_huffman_weights
+    from zstd_tpu.utils.bits import ForwardByteCursor
+
+    rng = np.random.default_rng(11)
+    fse_seen = direct_seen = 0
+    for _ in range(120):
+        nsym = int(rng.integers(2, 200))
+        freqs = np.zeros(256, np.int64)
+        syms = rng.choice(256, nsym, replace=False)
+        freqs[syms] = rng.integers(1, 100_000, nsym)
+        codes, lengths, mb = encode.huffman_codes(freqs)
+        ser = encode.serialize_huffman_weights(lengths, mb)
+        if ser is None:
+            continue
+        if ser[0] < 128:
+            fse_seen += 1
+        else:
+            direct_seen += 1
+        got = parse_huffman_weights(ForwardByteCursor(ser))
+        weights = np.where(lengths > 0, mb + 1 - lengths, 0)
+        last = int(np.flatnonzero(weights)[-1])
+        assert list(got) == list(weights[:last])
+    assert fse_seen  # compressed form exercised
+    # Direct form: uniform weights make FSE degenerate -> direct chosen.
+    freqs = np.zeros(256, np.int64)
+    freqs[[5, 9, 17, 30]] = 10
+    codes, lengths, mb = encode.huffman_codes(freqs)
+    ser = encode.serialize_huffman_weights(lengths, mb)
+    assert ser is not None and ser[0] >= 128
+    got = parse_huffman_weights(ForwardByteCursor(ser))
+    weights = np.where(lengths > 0, mb + 1 - lengths, 0)
+    last = int(np.flatnonzero(weights)[-1])
+    assert list(got) == list(weights[:last])
+
+
+def test_large_alphabet_compresses():
+    # >128 distinct symbols requires the FSE-compressed weights form.
+    data = bytes(range(256)) * 600
+    comp = encode.compress(data, 3)
+    assert len(comp) < len(data) // 10
+    assert libzstd.decompress(comp) == data
+
+
 def test_fse_distribution_roundtrip():
     from zstd_tpu.ops.fse import parse_fse_distribution
     from zstd_tpu.utils.bits import ForwardBitCursor

@@ -23,8 +23,17 @@ from .utils import errors
 
 __version__ = "0.1.0"
 
+
+def compress(data: bytes, level: int = 3, **kw) -> bytes:
+    """Compress ``data`` into a ZSTD frame (see zstd_tpu.encode)."""
+    from . import encode
+
+    return encode.compress(data, level, **kw)
+
+
 __all__ = [
     "MAX_WINDOW_SIZE",
+    "compress",
     "decode_frame",
     "decompress",
     "errors",

@@ -149,24 +149,100 @@ def huffman_codes(freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
 
 
 def serialize_huffman_weights(lengths: np.ndarray, max_bits: int) -> bytes | None:
-    """Direct-weights serialization (header >= 128, 4-bit weights).
+    """Weights serialization: FSE-compressed when smaller, else direct.
 
     The last present symbol's weight is implied (huffman.rs:92-106).
+    Direct form: header 128..255 → (header - 127) 4-bit weights.
+    FSE form: header < 128 → that many bytes of table description +
+    two-state interleaved tANS weight stream (RFC 8878 §4.2.1.2).
     """
     weights = np.where(lengths > 0, max_bits + 1 - lengths, 0)
     last = int(np.flatnonzero(weights)[-1])
-    explicit = weights[:last]  # weight of symbol `last` is implied
-    if len(explicit) > 128:
-        # Direct form caps at 128 weights (header byte 128..255); larger
-        # alphabets need FSE-compressed weights — not emitted yet.
+    explicit = weights[:last].astype(np.int64)  # weight of `last` implied
+
+    direct = None
+    if len(explicit) <= 128:
+        out = bytearray([127 + len(explicit)])
+        for i in range(0, len(explicit), 2):
+            hi = int(explicit[i]) << 4
+            lo = int(explicit[i + 1]) if i + 1 < len(explicit) else 0
+            out.append(hi | lo)
+        direct = bytes(out)
+
+    fse = _serialize_weights_fse(explicit)
+    if fse is not None and (direct is None or len(fse) < len(direct)):
+        return fse
+    return direct
+
+
+def _serialize_weights_fse(explicit: np.ndarray) -> bytes | None:
+    """FSE-compress the explicit weights (two interleaved tANS states).
+
+    Write order is the exact reverse of the decoder's read order
+    (ops/huffman.py decode_fse_weights): the decoder reads state1 then
+    state2, then symbols alternate 1,2,1,2,... with each state updated
+    right after its symbol is emitted.
+    """
+    n = len(explicit)
+    if n < 2:
         return None
-    header = 127 + len(explicit)
-    out = bytearray([header])
-    for i in range(0, len(explicit), 2):
-        hi = int(explicit[i]) << 4
-        lo = int(explicit[i + 1]) if i + 1 < len(explicit) else 0
-        out.append(hi | lo)
-    return bytes(out)
+    freqs = np.bincount(explicit, minlength=int(explicit.max()) + 1)
+    if len(np.flatnonzero(freqs)) < 2:
+        # A single weight value would normalize to a full-probability
+        # symbol (0-bit states) — the decoder's drain loop could not
+        # terminate on bits; use the direct form instead.
+        return None
+    al = max(5, min(6, int(n).bit_length()))  # weights cap: AL <= 6
+    dist = normalize_distribution(freqs, al)
+    try:
+        table = fse_ops.build_fse_table(al, dist)
+    except Exception:
+        return None
+    fb = ForwardBits()
+    serialize_fse_distribution(al, dist, fb)
+    desc = fb.to_bytes()
+    enc = FseEncoder(table)
+
+    # Decoder read order: s1, s2, then per k: emit w[k] from state
+    # (k % 2) and update that state (reads its nbits) unless it's one of
+    # the two final buffered symbols.  Encoder walks backwards.
+    # States: chain for even indices (state1) and odd indices (state2).
+    # The last update consumed for state i-parity is at the largest k of
+    # that parity with k < n - 2... every symbol except the final one of
+    # each parity has a following update read.
+    writes_v: list[int] = []
+    writes_n: list[int] = []
+    chains = {p: [k for k in range(n) if k % 2 == p] for p in (0, 1)}
+    state = {p: enc.init_state(int(explicit[chains[p][-1]])) for p in (0, 1)}
+    # Transition writes, interleaved in reverse global order.  The
+    # decoder's update for symbol k happens right after emitting k (for
+    # all k except the final symbol of each parity, which is flushed
+    # from the buffer).  Reverse read order => iterate k from high to
+    # low, skipping each parity's last symbol.
+    skip = {p: chains[p][-1] for p in (0, 1)}
+    pending: list[tuple[int, int]] = []
+    for k in range(n - 1, -1, -1):
+        if k == skip[k % 2]:
+            continue
+        p = k % 2
+        state[p], v, nb = enc.transition(int(explicit[k]), state[p])
+        pending.append((v, nb))
+    # Reads happen init-first; writes are appended in reverse read
+    # order, so transitions (built high-k to low-k) come first...
+    for v, nb in pending:
+        writes_v.append(v)
+        writes_n.append(nb)
+    # ... then the two init states: decoder reads s1 (parity 0) then s2.
+    writes_v.append(state[1])
+    writes_n.append(enc.al)
+    writes_v.append(state[0])
+    writes_n.append(enc.al)
+    stream = pack_backward_stream(np.array(writes_v), np.array(writes_n))
+
+    payload = desc + stream
+    if len(payload) >= 128:
+        return None
+    return bytes([len(payload)]) + payload
 
 
 def encode_literals_streams(

@@ -127,7 +127,7 @@ class DeviceEngine:
         ceil_steps = -(-plan.lit_regen // LIT_SYMS_PER_STEP)
         pending = []
         for idx, steps in _bucket_lanes(ceil_steps, lo=4):
-            pad = _next_pow2(len(idx)) - len(idx)
+            pad = _next_pow2(len(idx), lo=128) - len(idx)
             sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
             regen = np.where(
                 np.arange(len(sel)) < len(idx), plan.lit_regen[sel], 0
@@ -178,7 +178,7 @@ class DeviceEngine:
         ceil_steps = -(-slots_needed // SEQ_SLOTS_PER_STEP)
         pending = []
         for idx, steps in _bucket_lanes(ceil_steps, lo=2):
-            pad = _next_pow2(len(idx)) - len(idx)
+            pad = _next_pow2(len(idx), lo=128) - len(idx)
             sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
             nseq = np.where(
                 np.arange(len(sel)) < len(idx), plan.seq_nseq[sel], 0
@@ -565,11 +565,19 @@ class DeviceEngine:
         return self.decompress_with_stats(data, **kw)
 
 
+# Fixed step ladder: every bucket call compiles one of these shapes.
+# Remote compiles are expensive and uncached on the axon relay (see
+# BASELINE.md), so the ladder is deliberately tiny; wasted steps for
+# short lanes are cheaper than another compile.
+_STEP_LADDER = (64, 512, 4096, 32768)
+
+
 def _bucket_lanes(counts: np.ndarray, lo: int = 64):
-    """Group lane indices by next-pow2 of their step count.
+    """Group lane indices into the fixed step ladder.
 
     Returns [(lane_indices, max_steps)]; lanes with zero steps are
-    dropped (nothing to decode).
+    dropped (nothing to decode).  Lanes above the ladder get a pow2
+    bucket of their own (rare: >1 MiB single-stream regen).
     """
     counts = np.asarray(counts)
     out = []
@@ -578,7 +586,12 @@ def _bucket_lanes(counts: np.ndarray, lo: int = 64):
         return out
     buckets: dict[int, list[int]] = {}
     for lane in nonzero:
-        key = _next_pow2(int(counts[lane]), lo=lo)
+        c = int(counts[lane])
+        for key in _STEP_LADDER:
+            if c <= key:
+                break
+        else:
+            key = _next_pow2(c)
         buckets.setdefault(key, []).append(int(lane))
     for key in sorted(buckets):
         out.append((np.asarray(buckets[key], dtype=np.int64), key))
