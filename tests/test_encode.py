@@ -147,9 +147,11 @@ def test_weights_serialization_roundtrip():
         last = int(np.flatnonzero(weights)[-1])
         assert list(got) == list(weights[:last])
     assert fse_seen  # compressed form exercised
-    # Direct form: uniform weights make FSE degenerate -> direct chosen.
+    # Direct form: adjacent symbols with uniform weights -> the explicit
+    # weight list has a single distinct value, FSE degenerates, direct
+    # form chosen.
     freqs = np.zeros(256, np.int64)
-    freqs[[5, 9, 17, 30]] = 10
+    freqs[[0, 1, 2, 3]] = 10
     codes, lengths, mb = encode.huffman_codes(freqs)
     ser = encode.serialize_huffman_weights(lengths, mb)
     assert ser is not None and ser[0] >= 128
