@@ -75,17 +75,54 @@ def test_4stream_literals(engine):
 
 
 def test_corrupt_stream_falls_back_to_oracle_error(engine):
-    # A corrupted entropy stream must surface a typed error (via oracle
-    # fallback), not bad bytes.
+    # A corrupted entropy stream must surface a *typed* error (via oracle
+    # fallback), not bad bytes and not an untyped crash.
+    from zstd_tpu.utils.errors import ZstdError
+
     payload = (b"corrupt me " * 2000)
-    comp = bytearray(libzstd.compress(payload, 6, checksum=True))
-    comp[len(comp) // 2] ^= 0x55
-    try:
-        out = engine.decompress(bytes(comp))
-        # If it decodes, it must still verify (mutation hit dead space).
+    base = libzstd.compress(payload, 6, checksum=True)
+    errors = 0
+    for pos in range(20, len(base), max(1, len(base) // 16)):
+        comp = bytearray(base)
+        comp[pos] ^= 0x55
+        try:
+            out = engine.decompress(bytes(comp))
+        except ZstdError:
+            errors += 1
+            continue
+        # If it decodes, the checksum passed — output must be payload.
         assert out == payload
-    except Exception:
-        pass
+    assert errors > 0  # at least one mutation must be detected
+
+
+def test_sequence_dispatch_honesty(monkeypatch):
+    # queue_kernels must actually select different kernels (the r1
+    # shadowing bug made the flag a no-op for sequences) and both paths
+    # must produce identical bytes.
+    payload = (b"dispatch honesty %d " * 600) % tuple(range(600))
+    comp = libzstd.compress(payload, 6, checksum=True)
+    calls = []
+    orig_b = DeviceEngine._run_sequences_bucketed
+    orig_q = DeviceEngine._run_sequences_queued
+    monkeypatch.setattr(
+        DeviceEngine,
+        "_run_sequences_bucketed",
+        lambda self, plan: calls.append("bucketed") or orig_b(self, plan),
+    )
+    monkeypatch.setattr(
+        DeviceEngine,
+        "_run_sequences_queued",
+        lambda self, plan: calls.append("queued") or orig_q(self, plan),
+    )
+    eng_b = DeviceEngine(queue_kernels=False)
+    out_b = eng_b.decompress(comp)
+    assert calls == ["bucketed"]
+    assert eng_b.stats.fallback_frames == 0
+    eng_q = DeviceEngine(queue_kernels=True)
+    out_q = eng_q.decompress(comp)
+    assert calls == ["bucketed", "queued"]
+    assert eng_q.stats.fallback_frames == 0
+    assert out_b == out_q == payload
 
 
 def test_engine_matches_oracle_on_mixed_frames(engine):

@@ -74,3 +74,14 @@ def test_corrupt_weights():
 def test_weights_sum_non_power_remainder():
     with pytest.raises(CorruptedHuffman):
         build_huffman_table([2, 2, 1])  # wsum 5 -> rest 3, not a power of 2
+
+
+def test_fse_weights_zero_bit_loop_bounded():
+    # Crafted weights-FSE table where one symbol has probability 2^AL:
+    # every state then reads 0 bits, and an unbounded drain loop would
+    # spin forever appending weights (round-1 advisor finding).  Must
+    # raise CorruptedHuffman at the RFC 8878 §4.2.1.2 255-weight cap.
+    from zstd_tpu.ops.huffman import decode_fse_weights
+
+    with pytest.raises(CorruptedHuffman):
+        decode_fse_weights(bytes([0xF0, 0x03, 0xFF, 0x07]))

@@ -712,7 +712,10 @@ def _compress_block(src, start, end, window, htab, rep) -> bytes | None:
     ll, off, ml, literals = native.lz77_greedy(src, start, end, window, htab)
     rep_snapshot = list(rep)
     if len(ll) == 0:
-        lit_sec = encode_literals_section(literals)
+        try:
+            lit_sec = encode_literals_section(literals)
+        except Exception:
+            return None
         if len(lit_sec) + 1 >= (end - start):
             return None
         return lit_sec + bytes([0])  # 0 sequences

@@ -67,7 +67,13 @@ def decode_fse_weights(data: memoryview | bytes) -> list[int]:
 
     weights: list[int] = []
     turn = 0
+    # RFC 8878 §4.2.1.2: at most 255 explicit weights (symbol 255 max,
+    # last weight implied).  Without this bound a crafted table whose
+    # every state has nbits == 0 (one symbol with probability 2^AL)
+    # loops forever: the `nb <= len(bwd)` guard is always true at 0.
     while int(nb[states[turn]]) <= len(bwd):
+        if len(weights) >= 253:  # +2 flushed below → 255 total max
+            raise CorruptedHuffman("more than 255 huffman weights")
         s = states[turn]
         weights.append(int(sym[s]))
         states[turn] = int(base[s]) + bwd.take(int(nb[s]))

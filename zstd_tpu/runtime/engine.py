@@ -173,8 +173,10 @@ class DeviceEngine:
         if n == 0:
             return outs, ok
 
+        from .schedule import seq_slot_bound
+
         words = jnp.asarray(plan.words)
-        slots_needed = plan.seq_nseq + plan.seq_p0 // 64 + 4
+        slots_needed = seq_slot_bound(plan.seq_nseq, plan.seq_p0)
         ceil_steps = -(-slots_needed // SEQ_SLOTS_PER_STEP)
         pending = []
         for idx, steps in _bucket_lanes(ceil_steps, lo=2):
@@ -279,7 +281,7 @@ class DeviceEngine:
             ok[s] = lane_ok[lane]
         return outs, ok
 
-    def _run_sequences(self, plan: BatchPlan):
+    def _run_sequences_queued(self, plan: BatchPlan):
         """Decode all sequence streams in ONE queue-kernel call.
 
         Streams are grouped by (LL, OF, ML) table triple; each lane's
