@@ -98,6 +98,12 @@ def main() -> None:
     oracle_dt = time.perf_counter() - t0
     oracle_gbs = len(oracle_out) / oracle_dt / 1e9
 
+    # Honest hard bar: libzstd itself, single-threaded, on this host.
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        libzstd.decompress(comp)
+    libzstd_gbs = len(raw) / ((time.perf_counter() - t0) / iters) / 1e9
+
     stats = engine.stats.as_dict()
     report = {
         "metric": "silesia-like batch decode throughput (1 chip, bit-exact)",
@@ -110,6 +116,8 @@ def main() -> None:
             "compressed_bytes": len(comp),
             "iters": iters,
             "oracle_baseline_gbs": round(oracle_gbs, 4),
+            "libzstd_serial_gbs": round(libzstd_gbs, 4),
+            "vs_libzstd_serial": round(gbs / libzstd_gbs, 4),
             "lit_lanes": stats["lit_lanes"],
             "seq_lanes": stats["seq_lanes"],
             "fallback_frames": stats["fallback_frames"],

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from zstd_tpu.format.block_table import build_batch_plan
-from zstd_tpu.runtime.engine import DeviceEngine, _bucket_lanes
+from zstd_tpu.runtime.engine import DeviceEngine, _tier_split
 from zstd_tpu.runtime.oracle import decompress as oracle_decompress
 from zstd_tpu.testing import libzstd
 
@@ -102,27 +102,28 @@ def test_sequence_dispatch_honesty(monkeypatch):
     payload = (b"dispatch honesty %d " * 600) % tuple(range(600))
     comp = libzstd.compress(payload, 6, checksum=True)
     calls = []
-    orig_b = DeviceEngine._run_sequences_bucketed
+    orig_w = DeviceEngine._run_sequences_wide
     orig_q = DeviceEngine._run_sequences_queued
     monkeypatch.setattr(
         DeviceEngine,
-        "_run_sequences_bucketed",
-        lambda self, plan: calls.append("bucketed") or orig_b(self, plan),
+        "_run_sequences_wide",
+        lambda self, plan, subset=None: calls.append("wide")
+        or orig_w(self, plan, subset),
     )
     monkeypatch.setattr(
         DeviceEngine,
         "_run_sequences_queued",
         lambda self, plan: calls.append("queued") or orig_q(self, plan),
     )
-    eng_b = DeviceEngine(queue_kernels=False)
-    out_b = eng_b.decompress(comp)
-    assert calls == ["bucketed"]
-    assert eng_b.stats.fallback_frames == 0
+    eng_w = DeviceEngine(queue_kernels=False)
+    out_w = eng_w.decompress(comp)
+    assert calls == ["wide"]
+    assert eng_w.stats.fallback_frames == 0
     eng_q = DeviceEngine(queue_kernels=True)
     out_q = eng_q.decompress(comp)
-    assert calls == ["bucketed", "queued"]
+    assert calls == ["wide", "queued"]
     assert eng_q.stats.fallback_frames == 0
-    assert out_b == out_q == payload
+    assert out_w == out_q == payload
 
 
 def test_engine_matches_oracle_on_mixed_frames(engine):
@@ -136,13 +137,19 @@ def test_engine_matches_oracle_on_mixed_frames(engine):
     )
 
 
-def test_bucketing():
+def test_tier_split():
     counts = np.array([0, 10, 100, 100, 5000, 64, 65])
-    buckets = _bucket_lanes(counts)
-    seen = [lane for idx, _ in buckets for lane in idx]
-    assert sorted(seen) == [1, 2, 3, 4, 5, 6]  # lane 0 dropped (0 symbols)
-    for idx, steps in buckets:
+    tiers = _tier_split(counts, lo=4)
+    seen = [lane for idx, _ in tiers for lane in idx]
+    assert sorted(seen) == [1, 2, 3, 4, 5, 6]  # lane 0 dropped (0 steps)
+    for idx, steps in tiers:
         assert (counts[idx] <= steps).all()
+    # The 5000-step outlier must not drag the small lanes' call size up.
+    assert len(tiers) == 2
+    small_steps = dict((int(i), s) for idx, s in tiers for i in idx)
+    assert small_steps[1] < 5000
+    # Uniform needs -> one call.
+    assert len(_tier_split(np.full(16, 100), lo=4)) == 1
 
 
 def test_device_execute_path(corpus):

@@ -21,6 +21,53 @@ from .runtime.oracle import decode_frame
 from .utils.errors import ZstdError
 
 
+def _huffman_info(payload, indent: str) -> list[str]:
+    """Parsed-Huffman dump: weights, max_bits, and the canonical code
+    list — the content of the reference's Debug iterator
+    (/root/reference/zstd-decompressor/src/decoders/huffman.rs:23-77,
+    printed from src/main.rs:35-40)."""
+    from .ops.huffman import parse_huffman_table
+    from .utils.bits import ForwardByteCursor
+
+    try:
+        t = parse_huffman_table(ForwardByteCursor(payload))
+    except ZstdError as e:
+        return [f"{indent}huffman: <corrupt: {type(e).__name__}: {e}>"]
+    lines = [
+        f"{indent}huffman: max_bits={t.max_bits} "
+        f"num_symbols={len(t.weights)} (last weight implied)"
+    ]
+    ws = " ".join(str(int(w)) for w in t.weights)
+    lines.append(f"{indent}  weights: [{ws}]")
+    codes = []
+    code = 0
+    # Canonical enumeration, longest codes first (huffman.py table order).
+    pos = 0
+    while pos < t.size:
+        n = int(t.nbits[pos])
+        sym = int(t.symbol[pos])
+        code = pos >> (t.max_bits - n)
+        codes.append(f"{sym:#04x}:{code:0{n}b}")
+        pos += 1 << (t.max_bits - n)
+    lines.append(f"{indent}  codes: " + " ".join(codes))
+    return lines
+
+
+def _seq_table_info(name: str, m, indent: str) -> str:
+    if m.mode.name == "RLE":
+        return f"{indent}{name}_table: rle(symbol={m.rle_byte})"
+    if m.fse_table is not None:
+        t = m.fse_table
+        probs = getattr(t, "distribution", None)
+        detail = f" distribution={list(map(int, probs))}" if probs is not None else ""
+        return (
+            f"{indent}{name}_table: {m.mode.name.lower()}"
+            f"(accuracy_log={t.accuracy_log}, states={1 << t.accuracy_log})"
+            + detail
+        )
+    return f"{indent}{name}_table: {m.mode.name.lower()}"
+
+
 def _format_info(frame, index: int) -> str:
     if isinstance(frame, SkippableFrame):
         return (
@@ -52,6 +99,16 @@ def _format_info(frame, index: int) -> str:
         elif b.data is not None:
             extra = f" size={len(b.data)}"
         lines.append(f"    block #{i}: {b.btype.name.lower()}{extra}")
+        if b.btype.name == "COMPRESSED":
+            if b.literals.huffman_payload is not None:
+                lines += _huffman_info(b.literals.huffman_payload, "      ")
+            if b.sequences.num_sequences:
+                for name, m in (
+                    ("ll", b.sequences.ll),
+                    ("of", b.sequences.of),
+                    ("ml", b.sequences.ml),
+                ):
+                    lines.append(_seq_table_info(name, m, "      "))
     return "\n".join(lines)
 
 

@@ -27,9 +27,17 @@ per-op) with clamped indices.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-_ZERO = jnp.uint32(0)
+# A *numpy* scalar, deliberately: ``jnp.uint32(0)`` at module scope
+# eagerly creates a device array, and a jitted scan that captures such
+# a concrete array as a constant runs ~300x slower per step on the
+# axon relay (measured r2: 169 us/step -> 1 us/step for the literals
+# kernel after this one-line change) — and degrades every later
+# program in the process.  Only trace-time literals (numpy scalars /
+# Python ints) may be captured by kernels.
+_ZERO = np.uint32(0)
 
 
 def _shl(v, n):

@@ -385,7 +385,7 @@ def decode_sequences_q(
     return ll, ofv, ml, valid, ok
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+@partial(jax.jit, static_argnames=("max_steps", "wide"))
 def decode_sequences_v2(
     words,  # uint32[W]
     base,  # int32[L]
@@ -402,11 +402,24 @@ def decode_sequences_v2(
     ml_al,
     *,
     max_steps: int,
+    wide: bool = False,
 ):
     """Decode L interleaved tANS sequence streams, 8 slots per step.
 
-    Returns (ll int32[steps, 8, L], ofv uint32[steps, 8, L],
-    ml int32[steps, 8, L], valid int32[steps, 8, L], ok bool[L]).
+    Outputs are bit-packed because the decoded triples travel back to
+    the host and the relay fetch path (~35-60 MB/s, BASELINE.md) is the
+    end-to-end bottleneck — the per-slot byte cost IS the wall time:
+
+    * narrow (default, 8 B/slot): returns
+      ``(pa uint32[steps, 8, L], pb uint32[steps, 8, L], ok bool[L])``
+      with ``pa = valid << 31 | offset_value`` and
+      ``pb = ll << 16 | ml``.  A lane whose stream needs more than the
+      packed ranges (offset code >= 31, ll or ml > 0xFFFF — a >64 KiB
+      literal run or match in ONE sequence) reports ``ok = False`` and
+      the engine retries it on the wide form.
+    * wide (12 B/slot): ``(pa, ll int32, ml int32, ok)`` — full RFC
+      ranges (ll/ml <= 131074, offset_value < 2^31; bigger offsets are
+      corrupt for any window <= 8 MiB and stay flagged).
     """
     iota512 = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
 
@@ -428,13 +441,14 @@ def decode_sequences_v2(
     pos = pos - ml_al
 
     emitted0 = jnp.zeros_like(nseq)
+    bad0 = jnp.zeros(nseq.shape, bool)
 
     def rowsel(rows, mask):
         return jnp.sum(jnp.where(mask, rows, 0), axis=1)
 
     def body(carry, t):
-        bs, nbits, wi, pos, s_ll, s_of, s_ml, emitted = carry
-        out_ll, out_of, out_ml, out_valid = [], [], [], []
+        bs, nbits, wi, pos, s_ll, s_of, s_ml, emitted, bad = carry
+        out_a, out_b, out_c = [], [], []
         for _slot in range(SEQ_SLOTS_PER_STEP):
             for _ in range(2):
                 bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
@@ -481,22 +495,26 @@ def decode_sequences_v2(
             s_of = jnp.where(upd, (e0_of >> 16) + v.astype(jnp.int32), s_of)
 
             emitted = emitted + can.astype(jnp.int32)
-            out_ll.append(jnp.where(can, ll, 0))
-            out_of.append(jnp.where(can, ofv, U32(0)))
-            out_ml.append(jnp.where(can, ml, 0))
-            out_valid.append(can.astype(jnp.int32))
+            pa = (can.astype(U32) << U32(31)) | (ofv & U32(0x7FFFFFFF))
+            bad = bad | (can & (of_code >= 31))
+            out_a.append(pa)
+            if wide:
+                out_b.append(jnp.where(can, ll, 0))
+                out_c.append(jnp.where(can, ml, 0))
+            else:
+                bad = bad | (can & ((ll > 0xFFFF) | (ml > 0xFFFF)))
+                pb = (ll.astype(U32) << U32(16)) | (ml.astype(U32) & U32(0xFFFF))
+                out_b.append(jnp.where(can, pb, U32(0)))
 
-        ys = (
-            jnp.stack(out_ll),
-            jnp.stack(out_of),
-            jnp.stack(out_ml),
-            jnp.stack(out_valid),
+        ys = tuple(
+            jnp.stack(o) for o in ((out_a, out_b, out_c) if wide else (out_a, out_b))
         )
-        return (bs, nbits, wi, pos, s_ll, s_of, s_ml, emitted), ys
+        return (bs, nbits, wi, pos, s_ll, s_of, s_ml, emitted, bad), ys
 
-    carry0 = (bs, nbits, wi, pos, s_ll, s_of, s_ml, emitted0)
-    (bs, nbits, wi, pos, _sll, _sof, _sml, emitted), (ll, ofv, ml, valid) = (
-        jax.lax.scan(body, carry0, jnp.arange(max_steps, dtype=jnp.int32))
+    carry0 = (bs, nbits, wi, pos, s_ll, s_of, s_ml, emitted0, bad0)
+    carry, planes = jax.lax.scan(
+        body, carry0, jnp.arange(max_steps, dtype=jnp.int32)
     )
-    ok = (emitted == nseq) & (pos == 0)
-    return ll, ofv, ml, valid, ok
+    pos, emitted, bad = carry[3], carry[7], carry[8]
+    ok = (emitted == nseq) & (pos == 0) & ~bad
+    return (*planes, ok)

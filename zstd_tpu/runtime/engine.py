@@ -78,6 +78,7 @@ class DeviceEngine:
         device=None,
         device_execute: bool = False,
         queue_kernels: bool = False,
+        mesh=None,
     ):
         from .jaxcache import enable_compilation_cache
 
@@ -87,35 +88,155 @@ class DeviceEngine:
         # Pure-device LZ77 execution (kernels/lz77_device.py) instead of
         # the native C executor — see that module for the tradeoff.
         self.device_execute = device_execute
-        # Work-conserving queue kernels (one call per phase) vs bucketed
-        # per-stream dispatch.  Bucketing measures faster on this relay
-        # for low-stream-count workloads; queues win when streams >>
-        # lanes (see BASELINE.md).
+        # Work-conserving queue kernels (one call per phase) vs wide
+        # per-stream dispatch.  Wide dispatch measures faster (per-step
+        # cost is nearly lane-count-flat); queues win only when streams
+        # >> lanes with tiny per-stream work (see BASELINE.md).
         self.queue_kernels = queue_kernels
+        # Optional jax.sharding.Mesh with a pow2 device count <= 128:
+        # lane arrays are sharded over its "lanes" axis and the same v2
+        # kernels run GSPMD — the single-chip and sharded paths share
+        # every line of dispatch (SURVEY.md §2.3 DP).
+        self.mesh = mesh
         self.stats = EngineStats()
+
+    # -- array placement (mesh-aware; multihost overrides in parallel/) -----
+
+    def _put(self, a, *, lane: bool):
+        """Device placement: lane arrays shard over the mesh's lane
+        axis (axis 0), everything else (words, scalars) replicates."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(a)
+        if self.mesh is None:
+            return x
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import LANE_AXIS
+
+        spec = P(LANE_AXIS, *([None] * (x.ndim - 1))) if lane else P()
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _fetch(self, x) -> np.ndarray:
+        """Materialize a (possibly lane-sharded) kernel output on host."""
+        return np.asarray(x)
+
+    def _fetch_tree(self, xs) -> list:
+        """Materialize several outputs at once (jax.device_get batches
+        the relay round-trips; ~2x the serial np.asarray throughput)."""
+        import jax
+
+        return [np.asarray(a) for a in jax.device_get(list(xs))]
+
+    def _words_dev(self, plan):
+        """The plan's u32 words buffer, transferred to device once per
+        decompress (it is the largest input; re-uploading it per kernel
+        call would dominate the relay transfer time)."""
+        if getattr(self, "_words_cache", None) is None or self._words_cache[0] is not plan:
+            self._words_cache = (plan, self._put(plan.words, lane=False))
+        return self._words_cache[1]
+
+    def _pad_lanes(self, idx: np.ndarray) -> tuple[np.ndarray, int]:
+        """Mesh-aware lane padding: at least 32 lanes and divisible by
+        the mesh's device count."""
+        lo = 32 if self.mesh is None else max(32, int(self.mesh.devices.size))
+        return _pad_pow2(idx, lo=lo)
 
     # -- kernel dispatch ----------------------------------------------------
 
     def _run_literals(self, plan: BatchPlan):
         if self.queue_kernels:
             return self._run_literals_queued(plan)
-        return self._run_literals_bucketed(plan)
+        return self._run_literals_wide(plan)
 
     def _run_sequences(self, plan: BatchPlan):
         if self.queue_kernels:
             return self._run_sequences_queued(plan)
-        return self._run_sequences_bucketed(plan)
+        return self._run_sequences_wide(plan)
 
-    def _run_literals_bucketed(self, plan: BatchPlan):
-        """Bucketed per-stream dispatch of the v2 literals kernel.
+    def _call_literals(self, plan: BatchPlan, sel: np.ndarray, n_real: int, steps: int):
+        """One v2 literals kernel call over the selected lanes."""
+        from ..kernels.entropy2 import decode_literals_v2
 
-        Lanes = streams, bucketed by next-pow2 step count; all calls are
-        dispatched before any result is fetched so device work pipelines
-        past the relay's per-call sync cost.
+        regen = np.where(
+            np.arange(len(sel)) < n_real, plan.lit_regen[sel], 0
+        ).astype(np.int32)
+        slots = plan.lit_slot[sel]
+        lane = lambda a: self._put(a, lane=True)  # noqa: E731
+        ys, lane_ok = decode_literals_v2(
+            self._words_dev(plan),
+            lane(plan.lit_base[sel]),
+            lane(plan.lit_p0[sel]),
+            lane(regen),
+            lane(plan.huff_limits[slots]),
+            lane(plan.huff_prevs[slots]),
+            lane(plan.huff_lengths[slots]),
+            lane(plan.huff_rankb[slots]),
+            lane(plan.huff_ranked[slots]),
+            max_steps=steps,
+        )
+        self.stats.kernel_calls += 1
+        return ys, lane_ok
+
+    def _call_sequences(
+        self,
+        plan: BatchPlan,
+        sel: np.ndarray,
+        n_real: int,
+        steps: int,
+        wide: bool = False,
+    ):
+        """One v2 sequences kernel call over the selected lanes."""
+        from ..kernels.entropy2 import decode_sequences_v2
+
+        nseq = np.where(
+            np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
+        ).astype(np.int32)
+        ll_s, of_s, ml_s = (
+            plan.seq_ll_slot[sel],
+            plan.seq_of_slot[sel],
+            plan.seq_ml_slot[sel],
+        )
+        lane = lambda a: self._put(a, lane=True)  # noqa: E731
+        res = decode_sequences_v2(
+            self._words_dev(plan),
+            lane(plan.seq_base[sel]),
+            lane(plan.seq_p0[sel]),
+            lane(nseq),
+            lane(plan.fse_p0[ll_s]),
+            lane(plan.fse_p1[ll_s]),
+            lane(plan.fse_p0[of_s]),
+            lane(plan.fse_p1[of_s]),
+            lane(plan.fse_p0[ml_s]),
+            lane(plan.fse_p1[ml_s]),
+            lane(plan.seq_ll_al[sel]),
+            lane(plan.seq_of_al[sel]),
+            lane(plan.seq_ml_al[sel]),
+            max_steps=steps,
+            wide=wide,
+        )
+        self.stats.kernel_calls += 1
+        return res
+
+    def _run_literals_wide(self, plan: BatchPlan, subset=None):
+        """Wide dispatch of the v2 literals kernel: one call over ALL
+        lanes (two when a long-lane tier would make every lane pay an
+        outlier's step count).
+
+        Measured on v5e: per-step cost is nearly flat in lane count
+        (~170 us at L=128 vs ~270 us at L=1024), so a single wide call
+        beats per-size bucketing — which paid relay dispatch overhead
+        (~30-120 ms/call) and ladder-rounded step counts per bucket.
+        Literal step counts are exact (the kernel never stalls:
+        refill inflow 32 bits per 2 symbols >= max outflow 22 bits),
+        so no retry pass is needed.
+
+        ``subset``: decode only these lane indices (multihost binning,
+        parallel/multihost.py); other lanes stay (None, ok=True) for
+        the exchange step to fill.
         """
-        import jax.numpy as jnp
-
-        from ..kernels.entropy2 import LIT_SYMS_PER_STEP, decode_literals_v2
+        from ..kernels.entropy2 import LIT_SYMS_PER_STEP
 
         n = plan.n_lit_lanes
         outs: list[np.ndarray | None] = [None] * n
@@ -123,34 +244,19 @@ class DeviceEngine:
         if n == 0:
             return outs, ok
 
-        words = jnp.asarray(plan.words)
         ceil_steps = -(-plan.lit_regen // LIT_SYMS_PER_STEP)
+        if subset is not None:
+            mask = np.zeros(n, dtype=bool)
+            mask[subset] = True
+            ceil_steps = np.where(mask, ceil_steps, 0)
+        # Dispatch every call before fetching any result: jax dispatch
+        # is async, so later calls' compute overlaps earlier fetches.
         pending = []
-        for idx, steps in _bucket_lanes(ceil_steps, lo=4):
-            pad = _next_pow2(len(idx), lo=128) - len(idx)
-            sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
-            regen = np.where(
-                np.arange(len(sel)) < len(idx), plan.lit_regen[sel], 0
-            ).astype(np.int32)
-            slots = plan.lit_slot[sel]
-            ys, lane_ok = decode_literals_v2(
-                words,
-                jnp.asarray(plan.lit_base[sel]),
-                jnp.asarray(plan.lit_p0[sel]),
-                jnp.asarray(regen),
-                jnp.asarray(plan.huff_limits[slots]),
-                jnp.asarray(plan.huff_prevs[slots]),
-                jnp.asarray(plan.huff_lengths[slots]),
-                jnp.asarray(plan.huff_rankb[slots]),
-                jnp.asarray(plan.huff_ranked[slots]),
-                max_steps=steps,
-            )
-            self.stats.kernel_calls += 1
-            pending.append((idx, ys, lane_ok))
-
-        for idx, ys, lane_ok in pending:
-            arr = np.asarray(ys)  # (steps, 8, L) uint32
-            lane_ok = np.asarray(lane_ok)
+        for idx, steps in _tier_split(ceil_steps, lo=4):
+            sel, n_real = self._pad_lanes(idx)
+            pending.append((idx, self._call_literals(plan, sel, n_real, steps)))
+        for idx, (ys, lane_ok) in pending:
+            arr, lane_ok = self._fetch_tree((ys, lane_ok))
             flat = (
                 np.ascontiguousarray(arr.transpose(2, 0, 1))
                 .reshape(arr.shape[2], -1)
@@ -161,11 +267,20 @@ class DeviceEngine:
                 ok[lane] = lane_ok[j]
         return outs, ok
 
-    def _run_sequences_bucketed(self, plan: BatchPlan):
-        """Bucketed per-stream dispatch of the v2 sequences kernel."""
-        import jax.numpy as jnp
+    def _run_sequences_wide(self, plan: BatchPlan, subset=None):
+        """Wide dispatch of the v2 sequences kernel with optimistic step
+        counts and a retry pass.
 
-        from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP, decode_sequences_v2
+        A sequence lane can stall a slot when its 128-bit window holds
+        fewer than the 90-bit worst-case burst; the hard bound
+        (schedule.seq_slot_bound) covers pathological streams but is
+        ~30% above typical need.  So: first call sized for the typical
+        case (nseq + small slack), then one retry call at the hard
+        bound for any lane that didn't finish — rare in practice, and
+        still cheaper than sizing everyone for the worst case.
+        """
+        from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP
+        from .schedule import seq_slot_bound
 
         n = plan.n_seq_lanes
         outs: list[tuple | None] = [None] * n
@@ -173,55 +288,57 @@ class DeviceEngine:
         if n == 0:
             return outs, ok
 
-        from .schedule import seq_slot_bound
-
-        words = jnp.asarray(plan.words)
-        slots_needed = seq_slot_bound(plan.seq_nseq, plan.seq_p0)
-        ceil_steps = -(-slots_needed // SEQ_SLOTS_PER_STEP)
+        opt_steps = -(-(plan.seq_nseq + 16) // SEQ_SLOTS_PER_STEP)
+        if subset is not None:
+            mask = np.zeros(n, dtype=bool)
+            mask[subset] = True
+            opt_steps = np.where(mask, opt_steps, 0)
         pending = []
-        for idx, steps in _bucket_lanes(ceil_steps, lo=2):
-            pad = _next_pow2(len(idx), lo=128) - len(idx)
-            sel = np.concatenate([idx, np.zeros(pad, dtype=np.int64)])
-            nseq = np.where(
-                np.arange(len(sel)) < len(idx), plan.seq_nseq[sel], 0
-            ).astype(np.int32)
-            ll_s, of_s, ml_s = (
-                plan.seq_ll_slot[sel],
-                plan.seq_of_slot[sel],
-                plan.seq_ml_slot[sel],
-            )
-            res = decode_sequences_v2(
-                words,
-                jnp.asarray(plan.seq_base[sel]),
-                jnp.asarray(plan.seq_p0[sel]),
-                jnp.asarray(nseq),
-                jnp.asarray(plan.fse_p0[ll_s]),
-                jnp.asarray(plan.fse_p1[ll_s]),
-                jnp.asarray(plan.fse_p0[of_s]),
-                jnp.asarray(plan.fse_p1[of_s]),
-                jnp.asarray(plan.fse_p0[ml_s]),
-                jnp.asarray(plan.fse_p1[ml_s]),
-                jnp.asarray(plan.seq_ll_al[sel]),
-                jnp.asarray(plan.seq_of_al[sel]),
-                jnp.asarray(plan.seq_ml_al[sel]),
-                max_steps=steps,
-            )
-            self.stats.kernel_calls += 1
-            pending.append((idx, res))
+        for idx, steps in _tier_split(opt_steps, lo=2, max_calls=4):
+            sel, n_real = self._pad_lanes(idx)
+            pending.append((idx, self._call_sequences(plan, sel, n_real, steps)))
+        for idx, res in pending:
+            self._unpack_sequences(plan, idx, res, outs, ok)
 
-        for idx, (ll, ofv, ml, valid, lane_ok) in pending:
-            to_flat = lambda a: np.ascontiguousarray(  # noqa: E731
-                np.asarray(a).transpose(2, 0, 1)
-            ).reshape(np.asarray(a).shape[2], -1)
-            vll, vof, vml, vva = map(to_flat, (ll, ofv, ml, valid))
-            lane_ok = np.asarray(lane_ok)
-            for j, lane in enumerate(idx):
-                mask = vva[j].astype(bool)
-                ns = plan.seq_nseq[lane]
-                lls = vll[j][mask][:ns]
-                outs[lane] = (lls, vof[j][mask][:ns], vml[j][mask][:ns])
-                ok[lane] = lane_ok[j] and len(lls) == ns
+        # Retry on the wide (12 B/slot) kernel at the hard step bound:
+        # covers both stall-heavy streams that outran the optimistic
+        # step count and streams whose ll/ml overflow the packed form.
+        failed = np.flatnonzero(~ok[:n] & (plan.seq_nseq > 0))
+        if failed.size:
+            hard = -(-seq_slot_bound(plan.seq_nseq[failed], plan.seq_p0[failed])
+                     // SEQ_SLOTS_PER_STEP)
+            steps = _next_pow2(int(hard.max()), lo=2)
+            sel, n_real = self._pad_lanes(failed)
+            ok[failed] = True
+            res = self._call_sequences(plan, sel, n_real, steps, wide=True)
+            self._unpack_sequences(plan, failed, res, outs, ok, wide=True)
         return outs, ok
+
+    def _unpack_sequences(
+        self, plan: BatchPlan, idx, res, outs, ok, wide: bool = False
+    ) -> None:
+        planes, lane_ok = res[:-1], res[-1]
+        fetched = self._fetch_tree((*planes, lane_ok))
+        lane_ok = fetched[-1]
+
+        def to_flat(h):
+            return np.ascontiguousarray(h.transpose(2, 0, 1)).reshape(h.shape[2], -1)
+
+        pa = to_flat(fetched[0])
+        valid = pa >> 31
+        ofv = pa & np.uint32(0x7FFFFFFF)
+        if wide:
+            vll, vml = to_flat(fetched[1]), to_flat(fetched[2])
+        else:
+            pb = to_flat(fetched[1])
+            vll = (pb >> 16).astype(np.int32)
+            vml = (pb & np.uint32(0xFFFF)).astype(np.int32)
+        for j, lane in enumerate(idx):
+            mask = valid[j].astype(bool)
+            ns = plan.seq_nseq[lane]
+            lls = vll[j][mask][:ns]
+            outs[lane] = (lls, ofv[j][mask][:ns], vml[j][mask][:ns])
+            ok[lane] = lane_ok[j] and len(lls) == ns
 
     def _run_literals_queued(self, plan: BatchPlan):
         """Decode all literal streams in ONE queue-kernel call.
@@ -567,37 +684,45 @@ class DeviceEngine:
         return self.decompress_with_stats(data, **kw)
 
 
-# Fixed step ladder: every bucket call compiles one of these shapes.
-# Remote compiles are expensive and uncached on the axon relay (see
-# BASELINE.md), so the ladder is deliberately tiny; wasted steps for
-# short lanes are cheaper than another compile.
-_STEP_LADDER = (64, 512, 4096, 32768)
+def _pad_pow2(idx: np.ndarray, lo: int = 32) -> tuple[np.ndarray, int]:
+    """Pad a lane-index selection to the next power of two (>= ``lo``)
+    with repeats of lane 0; returns (selection, real_count).  Pow2 lane
+    counts keep the jit shape family small (compiles are expensive on
+    the relay) and stay divisible by pow2 device meshes.  The floor is
+    32, not the 128-lane VPU width: small buckets' outputs are fetched
+    over the ~35-60 MB/s relay and a 128-lane pad would quadruple the
+    fetched bytes for a 24-lane bucket."""
+    idx = np.asarray(idx, dtype=np.int64)
+    pad = _next_pow2(len(idx), lo=lo) - len(idx)
+    return np.concatenate([idx, np.zeros(pad, dtype=np.int64)]), len(idx)
 
 
-def _bucket_lanes(counts: np.ndarray, lo: int = 64):
-    """Group lane indices into the fixed step ladder.
+def _tier_split(need: np.ndarray, lo: int, max_calls: int = 2):
+    """Group lanes into at most ``max_calls`` pow2-step calls.
 
-    Returns [(lane_indices, max_steps)]; lanes with zero steps are
-    dropped (nothing to decode).  Lanes above the ladder get a pow2
-    bucket of their own (rare: >1 MiB single-stream regen).
+    Returns [(lane_indices, pow2_steps)]; zero-need lanes are dropped.
+    Steps are a per-CALL constant, and what scales with steps is not
+    compute (~1 us/step) but the OUTPUT FETCH over the relay
+    (~35-60 MB/s, the end-to-end bottleneck) — so lanes are bucketed
+    by pow2 step need and adjacent buckets are merged cheapest-
+    padding-first until the call budget (each call also costs
+    ~30-120 ms of relay dispatch) is met.
     """
-    counts = np.asarray(counts)
-    out = []
-    nonzero = np.flatnonzero(counts > 0)
-    if len(nonzero) == 0:
-        return out
+    need = np.asarray(need)
+    live = np.flatnonzero(need > 0)
+    if len(live) == 0:
+        return []
     buckets: dict[int, list[int]] = {}
-    for lane in nonzero:
-        c = int(counts[lane])
-        for key in _STEP_LADDER:
-            if c <= key:
-                break
-        else:
-            key = _next_pow2(c)
-        buckets.setdefault(key, []).append(int(lane))
-    for key in sorted(buckets):
-        out.append((np.asarray(buckets[key], dtype=np.int64), key))
-    return out
+    for lane in live:
+        k = _next_pow2(int(need[lane]), lo=lo)
+        buckets.setdefault(k, []).append(int(lane))
+    ks = sorted(buckets)
+    while len(ks) > max_calls:
+        waste = [len(buckets[ks[i]]) * (ks[i + 1] - ks[i]) for i in range(len(ks) - 1)]
+        i = int(np.argmin(waste))
+        buckets[ks[i + 1]] += buckets.pop(ks[i])
+        ks.pop(i)
+    return [(np.asarray(sorted(buckets[k]), dtype=np.int64), k) for k in ks]
 
 
 def _frame_lanes_ok(fp: FramePlan, lit_ok: np.ndarray, seq_ok: np.ndarray) -> bool:
