@@ -206,17 +206,8 @@ EXPORT int zt_execute_sequences(
     return ZT_OK;
 }
 
-/* --------------------------- LZ77 greedy matcher ------------------------ */
+/* ---------------------------- LZ77 hashing ----------------------------- */
 
-/* Greedy hash-chain-free matcher (single-entry hash table, LZ4-style)
- * for the encoder.  Scans src[block_start, block_end); matches may
- * reach back into earlier blocks of the same frame (down to
- * max(0, i - window)).  The 2^16-entry hash table `htab` (int32,
- * -1-initialized) persists across per-block calls so cross-block
- * matches resolve.  Emits (ll, offset, ml) runs plus the literal bytes;
- * returns the number of sequences.  Trailing literals after the last
- * sequence are appended to lit_out and counted in *lit_len_io.
- */
 #define ZT_HASH_LOG 16
 #define ZT_MIN_MATCH 4
 
@@ -224,55 +215,6 @@ static inline uint32_t zt_hash4(const uint8_t *p) {
     uint32_t v;
     memcpy(&v, p, 4);
     return (v * 2654435761u) >> (32 - ZT_HASH_LOG);
-}
-
-EXPORT size_t zt_lz77_greedy(
-    const uint8_t *src, size_t block_start, size_t block_end, size_t window,
-    int32_t *htab /* [1<<ZT_HASH_LOG] */,
-    int32_t *ll_out, int32_t *off_out, int32_t *ml_out, size_t max_seqs,
-    uint8_t *lit_out, size_t *lit_len_io) {
-    size_t n_seq = 0;
-    size_t lit_len = 0;
-    size_t i = block_start;
-    size_t anchor = block_start;
-    /* Stop matching near the end so 4-byte loads stay in bounds. */
-    size_t match_limit = block_end >= ZT_MIN_MATCH ? block_end - ZT_MIN_MATCH : 0;
-
-    while (i < match_limit && n_seq < max_seqs) {
-        uint32_t h = zt_hash4(src + i);
-        int64_t cand = htab[h];
-        htab[h] = (int32_t)i;
-        size_t lo = i > window ? i - window : 0;
-        if (cand >= (int64_t)lo && cand >= 0 &&
-            memcmp(src + cand, src + i, ZT_MIN_MATCH) == 0) {
-            /* Extend forwards within the block. */
-            size_t len = ZT_MIN_MATCH;
-            size_t maxlen = block_end - i;
-            while (len < maxlen && src[cand + len] == src[i + len]) len++;
-            size_t ll = i - anchor;
-            memcpy(lit_out + lit_len, src + anchor, ll);
-            lit_len += ll;
-            ll_out[n_seq] = (int32_t)ll;
-            off_out[n_seq] = (int32_t)(i - (size_t)cand);
-            ml_out[n_seq] = (int32_t)len;
-            n_seq++;
-            /* Sparse insertions inside the match keep the table warm. */
-            {
-                size_t step = len > 64 ? 16 : 4;
-                for (size_t j = i + 1; j + ZT_MIN_MATCH < i + len; j += step)
-                    htab[zt_hash4(src + j)] = (int32_t)j;
-            }
-            i += len;
-            anchor = i;
-        } else {
-            i++;
-        }
-    }
-    /* Trailing literals. */
-    memcpy(lit_out + lit_len, src + anchor, block_end - anchor);
-    lit_len += block_end - anchor;
-    *lit_len_io = lit_len;
-    return n_seq;
 }
 
 /* --------------------- serial flat-table Huffman ------------------------ */
@@ -313,4 +255,208 @@ EXPORT int zt_huffman_decode_stream(
         if (pos < 0) return 2;
     }
     return pos == 0 ? 0 : 3;
+}
+
+/* ---------------- LZ77 hash-chain lazy matcher (encoder) ----------------
+ * zstd-style search replacing the single-probe greedy above for
+ * level >= 2: a 2^ZT_HASH_LOG head table plus a chain table over the
+ * last `chain_mask + 1` positions gives `attempts` candidates per
+ * position; the three repeat offsets are probed first with a virtual
+ * +1 length bonus (they encode in <= 5 bits, decoding_context.rs:50-75
+ * is the decoder mirror); `lazy` enables one-step-deferred match
+ * selection (emit a literal instead when position i+1 holds a strictly
+ * longer match).  Matches may reach into earlier blocks of the frame
+ * (bounded by `window`); head/chain persist across per-block calls.
+ * The rep history update mirrors encode.offsets_to_values exactly so
+ * search preferences track what the bitstream will actually encode.
+ */
+
+static inline size_t zt_match_len(
+    const uint8_t *src, size_t a, size_t b, size_t limit) {
+    size_t len = 0;
+    while (b + len + 8 <= limit) {
+        uint64_t x, y;
+        memcpy(&x, src + a + len, 8);
+        memcpy(&y, src + b + len, 8);
+        uint64_t diff = x ^ y;
+        if (diff) return len + ((size_t)__builtin_ctzll(diff) >> 3);
+        len += 8;
+    }
+    while (b + len < limit && src[a + len] == src[b + len]) len++;
+    return len;
+}
+
+static inline void zt_rep_update(int32_t reps[3], int32_t o, int32_t ll) {
+    int v;
+    if (ll != 0) {
+        if (o == reps[0]) v = 1;
+        else if (o == reps[1]) v = 2;
+        else if (o == reps[2]) v = 3;
+        else v = 0;
+        if (v == 0) { reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = o; }
+        else if (v == 2) { int32_t t = reps[0]; reps[0] = reps[1]; reps[1] = t; }
+        else if (v == 3) {
+            int32_t t = reps[2];
+            reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = t;
+        }
+    } else {
+        if (o == reps[1]) {
+            int32_t t = reps[0]; reps[0] = reps[1]; reps[1] = t;
+        } else if (o == reps[2]) {
+            int32_t t = reps[2];
+            reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = t;
+        } else if (o == reps[0] - 1 && o > 0) {
+            reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = o;
+        } else if (o != reps[0]) {
+            reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = o;
+        }
+    }
+}
+
+/* Best match at position i.  Returns length (0 if < ZT_MIN_MATCH);
+ * *off_out gets the offset.  `cur_ll` is the pending literal-run
+ * length (rep candidate rules differ at ll == 0). */
+static inline int zt_log2_u32(uint32_t v) {
+    return v <= 1 ? 0 : 31 - __builtin_clz(v);
+}
+
+/* Cost-aware match score in quarter-length units (the zstd lazy
+ * heuristic): 4*len - log2(offset), with repeat offsets scored as if
+ * offset == 1 plus a +4 continuity bonus — a rep code costs <= 5 bits
+ * where a fresh offset costs log2(off) extra bits AND evicts the
+ * rep history the following sequences would have reused. */
+static size_t zt_find_best(
+    const uint8_t *src, size_t i, size_t lo, size_t limit,
+    const int32_t *head, const int32_t *chain, size_t chain_mask,
+    int attempts, const int32_t reps[3], int32_t cur_ll,
+    int32_t *off_out, long *score_out) {
+    size_t best_len = 0;
+    int32_t best_off = 0;
+    long best_score = 4 * (long)(ZT_MIN_MATCH - 1); /* must beat this */
+
+    /* Encodable rep-candidate set depends on whether literals precede
+     * the sequence (offsets_to_values / decoding_context.rs:50-75).
+     * Rep matches may be as short as 3 bytes. */
+    int32_t rep_cands[3];
+    if (cur_ll != 0) {
+        rep_cands[0] = reps[0]; rep_cands[1] = reps[1]; rep_cands[2] = reps[2];
+    } else {
+        rep_cands[0] = reps[1]; rep_cands[1] = reps[2]; rep_cands[2] = reps[0] - 1;
+    }
+    for (int k = 0; k < 3; k++) {
+        int32_t o = rep_cands[k];
+        if (o <= 0 || (size_t)o > i || i - (size_t)o < lo) continue;
+        size_t len = zt_match_len(src, i - (size_t)o, i, limit);
+        long score = 4 * (long)len + 4;
+        if (len >= 3 && score > best_score) {
+            best_score = score;
+            best_len = len;
+            best_off = o;
+        }
+    }
+
+    uint32_t h = zt_hash4(src + i);
+    int64_t cand = head[h];
+    for (int t = 0; t < attempts && cand >= (int64_t)lo; t++) {
+        if (i + best_len >= limit) break; /* cannot improve further */
+        if (cand >= (int64_t)i) { /* self/future entries (stale aliases) */
+            int64_t prev = chain[(size_t)cand & chain_mask];
+            if (prev >= cand) break;
+            cand = prev;
+            continue;
+        }
+        /* Quick reject: the byte that would extend the current best. */
+        if (src[(size_t)cand + best_len] == src[i + best_len] &&
+            memcmp(src + cand, src + i, ZT_MIN_MATCH) == 0) {
+            size_t len = zt_match_len(
+                src, (size_t)cand + ZT_MIN_MATCH, i + ZT_MIN_MATCH, limit)
+                + ZT_MIN_MATCH;
+            uint32_t off = (uint32_t)(i - (size_t)cand);
+            long score = 4 * (long)len - zt_log2_u32(off);
+            if (score > best_score) {
+                best_score = score;
+                best_len = len;
+                best_off = (int32_t)off;
+            }
+        }
+        int64_t prev = chain[(size_t)cand & chain_mask];
+        if (prev >= cand) break; /* stale entry from an older window */
+        cand = prev;
+    }
+    *off_out = best_off;
+    *score_out = best_score;
+    return best_off ? best_len : 0;
+}
+
+EXPORT size_t zt_lz77_lazy(
+    const uint8_t *src, size_t block_start, size_t block_end, size_t window,
+    int32_t *head /* [1<<ZT_HASH_LOG] */,
+    int32_t *chain /* [chain_mask + 1] */, size_t chain_mask,
+    int attempts, int lazy,
+    int32_t *reps_io /* [3] */,
+    int32_t *ll_out, int32_t *off_out, int32_t *ml_out, size_t max_seqs,
+    uint8_t *lit_out, size_t *lit_len_io) {
+    size_t n_seq = 0;
+    size_t lit_len = 0;
+    size_t anchor = block_start;
+    size_t i = block_start;
+    size_t match_limit = block_end >= 8 ? block_end - 8 : 0;
+    int32_t reps[3] = { reps_io[0], reps_io[1], reps_io[2] };
+
+#define ZT_INSERT(p) do { \
+        uint32_t _h = zt_hash4(src + (p)); \
+        chain[(p) & chain_mask] = head[_h]; \
+        head[_h] = (int32_t)(p); \
+    } while (0)
+
+    size_t inserted_to = block_start; /* positions < inserted_to are in */
+
+    while (i < match_limit && n_seq < max_seqs) {
+        size_t lo = i > window ? i - window : 0;
+        int32_t off0;
+        long score0;
+        size_t len0 = zt_find_best(src, i, lo, block_end, head, chain,
+                                   chain_mask, attempts, reps,
+                                   (int32_t)(i - anchor), &off0, &score0);
+        if (inserted_to <= i) { ZT_INSERT(i); inserted_to = i + 1; }
+        if (len0 == 0) { i++; continue; }
+        /* One-step lazy: defer when i+1 holds a clearly better match
+         * (score gain > 3 quarter-lengths covers the literal spent). */
+        while (lazy && i + 1 < match_limit) {
+            int32_t off1;
+            long score1;
+            size_t lo1 = i + 1 > window ? i + 1 - window : 0;
+            size_t len1 = zt_find_best(src, i + 1, lo1, block_end, head,
+                                       chain, chain_mask, attempts, reps,
+                                       (int32_t)(i + 1 - anchor), &off1,
+                                       &score1);
+            if (inserted_to <= i + 1) { ZT_INSERT(i + 1); inserted_to = i + 2; }
+            if (len1 && score1 > score0 + 3) {
+                i++; len0 = len1; off0 = off1; score0 = score1;
+            } else break;
+        }
+        size_t ll = i - anchor;
+        memcpy(lit_out + lit_len, src + anchor, ll);
+        lit_len += ll;
+        ll_out[n_seq] = (int32_t)ll;
+        off_out[n_seq] = off0;
+        ml_out[n_seq] = (int32_t)len0;
+        n_seq++;
+        zt_rep_update(reps, off0, (int32_t)ll);
+        /* Insert every position inside the match (quality > speed;
+         * the matcher is not the encode bottleneck). */
+        {
+            size_t stop = i + len0 < match_limit ? i + len0 : match_limit;
+            for (size_t j = inserted_to; j < stop; j++) ZT_INSERT(j);
+            if (stop > inserted_to) inserted_to = stop;
+        }
+        i += len0;
+        anchor = i;
+    }
+#undef ZT_INSERT
+    memcpy(lit_out + lit_len, src + anchor, block_end - anchor);
+    lit_len += block_end - anchor;
+    *lit_len_io = lit_len;
+    reps_io[0] = reps[0]; reps_io[1] = reps[1]; reps_io[2] = reps[2];
+    return n_seq;
 }

@@ -51,10 +51,40 @@ def test_compression_actually_compresses():
     data = _cases()["multiblock"]
     comp = encode.compress(data, 3)
     assert len(comp) < len(data) // 4
-    z = len(libzstd.compress(data, 1))
-    # Greedy single-probe matcher: stay within 10x of libzstd level 1
-    # (hash chains / lazy matching are future work, tracked in BASELINE.md).
-    assert len(comp) < 10 * z
+
+
+@pytest.mark.parametrize(
+    "name,bound",
+    [
+        ("text", 1.5),
+        ("records", 1.5),
+        ("lowent", 1.5),
+        ("binary", 1.5),
+        ("rle", 1.5),
+        # The incrementing-counter synthetic: libzstd's parse leaves the
+        # (skewed) leading digits as literals — an optimal-parse artifact
+        # a greedy/lazy matcher does not reproduce (BASELINE.md r2).
+        ("multiblock", 2.5),
+    ],
+)
+def test_ratio_vs_libzstd_level1(name, bound):
+    # North-star: encode output <= reference zstd size at same level.
+    # The r2 hash-chain + lazy + rep-aware matcher beats libzstd-1
+    # outright on realistic data (text/records/lowent <= 1.0x).
+    data = _cases()[name]
+    z1 = len(libzstd.compress(data, 1))
+    ours = len(encode.compress(data, 3))
+    assert ours <= bound * z1, f"{name}: ours {ours} vs libzstd-1 {z1}"
+
+
+def test_levels_trade_effort_for_ratio():
+    # Levels must actually change the search (r1's knob was cosmetic).
+    rng = np.random.default_rng(11)
+    words = [bytes(rng.integers(97, 123, int(n))) for n in rng.integers(2, 12, 256)]
+    data = b" ".join(words[int(i)] for i in rng.integers(0, 256, 60_000))
+    sizes = {lvl: len(encode.compress(data, lvl)) for lvl in (1, 3, 6)}
+    assert sizes[3] <= sizes[1]
+    assert sizes[6] < sizes[1]  # deeper search must find strictly more
 
 
 def test_incompressible_stays_raw():

@@ -658,9 +658,9 @@ def compress(
 ) -> bytes:
     """Compress ``data`` into a single ZSTD frame.
 
-    ``level <= 0`` stores raw blocks.  Higher levels currently share the
-    greedy matcher; the level only gates whether compression is
-    attempted per block.
+    ``level <= 0`` stores raw blocks.  Levels map to match-search
+    effort (hash-chain attempts + lazy evaluation), zstd-style:
+    1 = fast greedy, 2-3 = wider greedy, 4-6 = lazy, 7+ = deep lazy.
     """
     src = np.frombuffer(data, dtype=np.uint8)
     n = len(src)
@@ -675,11 +675,12 @@ def compress(
         have_native = native.available() and level > 0
     except Exception:
         have_native = False
-    htab = None
+    state = None
+    attempts, lazy = _level_params(level)
     if have_native:
         from . import native
 
-        htab = native.new_match_table()
+        state = native.new_match_state(chain_log=min(22, max(16, window_log)))
 
     rep = [1, 4, 8]
     nblocks = max(1, -(-n // MAX_BLOCK))
@@ -689,7 +690,9 @@ def compress(
         block = src[start:end]
         body = None
         if have_native and level > 0 and end - start >= 64:
-            body = _compress_block(src, start, end, 1 << window_log, htab, rep)
+            body = _compress_block(
+                src, start, end, 1 << window_log, state, rep, attempts, lazy
+            )
         if body is not None and len(body) < len(block):
             header = last | (2 << 1) | (len(body) << 3)
             out += header.to_bytes(3, "little") + body
@@ -705,11 +708,28 @@ def compress(
     return bytes(out)
 
 
-def _compress_block(src, start, end, window, htab, rep) -> bytes | None:
+def _level_params(level: int) -> tuple[int, bool]:
+    """Compression level → (hash-chain attempts, lazy matching)."""
+    if level <= 1:
+        return 2, False
+    if level <= 2:
+        return 8, False
+    if level <= 3:
+        return 8, True
+    if level <= 6:
+        return 16, True
+    if level <= 9:
+        return 32, True
+    return 64, True
+
+
+def _compress_block(src, start, end, window, state, rep, attempts, lazy) -> bytes | None:
     """Build one compressed-block body, or None if not worthwhile."""
     from . import native
 
-    ll, off, ml, literals = native.lz77_greedy(src, start, end, window, htab)
+    ll, off, ml, literals = native.lz77_lazy(
+        src, start, end, window, state, rep, attempts, lazy
+    )
     rep_snapshot = list(rep)
     if len(ll) == 0:
         try:

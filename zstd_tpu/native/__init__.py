@@ -77,13 +77,18 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_size_t,  # n
             ctypes.c_void_p,  # rep uint64[3]
         ]
-        lib.zt_lz77_greedy.restype = ctypes.c_size_t
-        lib.zt_lz77_greedy.argtypes = [
+        lib.zt_lz77_lazy.restype = ctypes.c_size_t
+        lib.zt_lz77_lazy.argtypes = [
             ctypes.c_void_p,  # src
             ctypes.c_size_t,  # block_start
             ctypes.c_size_t,  # block_end
             ctypes.c_size_t,  # window
-            ctypes.c_void_p,  # htab int32[1<<16]
+            ctypes.c_void_p,  # head int32[1<<16]
+            ctypes.c_void_p,  # chain int32[chain_mask+1]
+            ctypes.c_size_t,  # chain_mask
+            ctypes.c_int,  # attempts
+            ctypes.c_int,  # lazy
+            ctypes.c_void_p,  # reps io int32[3]
             ctypes.c_void_p,  # ll_out
             ctypes.c_void_p,  # off_out
             ctypes.c_void_p,  # ml_out
@@ -175,21 +180,36 @@ def execute_sequences(
 HASH_LOG = 16
 
 
-def new_match_table() -> np.ndarray:
-    """Fresh hash table for :func:`lz77_greedy` (persists across blocks)."""
-    return np.full(1 << HASH_LOG, -1, dtype=np.int32)
+class MatchState:
+    """Hash-chain matcher state, persisted across a frame's blocks so
+    cross-block matches resolve (the decoder's window spans the frame)."""
+
+    def __init__(self, chain_log: int = 17):
+        self.head = np.full(1 << HASH_LOG, -1, dtype=np.int32)
+        self.chain = np.full(1 << chain_log, -1, dtype=np.int32)
+        self.chain_mask = (1 << chain_log) - 1
 
 
-def lz77_greedy(
+def new_match_state(chain_log: int = 17) -> MatchState:
+    return MatchState(chain_log)
+
+
+def lz77_lazy(
     src: np.ndarray,
     block_start: int,
     block_end: int,
     window: int,
-    htab: np.ndarray,
+    state: MatchState,
+    reps: list[int] | np.ndarray,
+    attempts: int,
+    lazy: bool,
 ):
-    """Greedy LZ77 over src[block_start:block_end] with frame history.
+    """Hash-chain LZ77 with repeat-offset-aware scoring and optional
+    one-step lazy matching over src[block_start:block_end].
 
-    Returns (ll, off, ml) int32 arrays and the literal bytes.
+    Returns (ll, off, ml) int32 arrays and the literal bytes.  ``reps``
+    is the 3-slot repeat-offset history at block start (read-only for
+    the caller; offsets_to_values recomputes the updates).
     """
     lib = _load()
     if lib is None:
@@ -201,12 +221,18 @@ def lz77_greedy(
     ml = np.empty(max_seqs, dtype=np.int32)
     lit = np.empty(n, dtype=np.uint8)
     lit_len = ctypes.c_size_t(0)
-    n_seq = lib.zt_lz77_greedy(
+    reps_arr = np.ascontiguousarray(np.asarray(reps, dtype=np.int32)[:3])
+    n_seq = lib.zt_lz77_lazy(
         src.ctypes.data,
         block_start,
         block_end,
         window,
-        htab.ctypes.data,
+        state.head.ctypes.data,
+        state.chain.ctypes.data,
+        state.chain_mask,
+        attempts,
+        int(lazy),
+        reps_arr.ctypes.data,
         ll.ctypes.data,
         off.ctypes.data,
         ml.ctypes.data,
