@@ -460,3 +460,40 @@ EXPORT size_t zt_lz77_lazy(
     reps_io[0] = reps[0]; reps_io[1] = reps[1]; reps_io[2] = reps[2];
     return n_seq;
 }
+
+/* ---------------------- repeat-offset resolution ------------------------ */
+
+/* Resolve n (ll, offset_value) pairs to actual offsets, maintaining the
+ * 3-slot history (decoding_context.rs:50-75) — the cheap intrinsically-
+ * serial pass of device-side sequence execution, hoisted out of Python
+ * (kernels/lz77_device.py builds per-byte source maps from these).
+ * Returns 0, or 1 on a null offset. */
+EXPORT int zt_resolve_offsets(
+    const int32_t *ll_arr, const uint32_t *ofv_arr, size_t n,
+    uint64_t *rep /* [3] */, int64_t *off_out) {
+    for (size_t i = 0; i < n; i++) {
+        uint64_t ofv = ofv_arr[i];
+        uint64_t offset;
+        if (ofv == 0) return 1;
+        if (ofv > 3) {
+            offset = ofv - 3;
+            rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+        } else {
+            uint64_t idx = (ll_arr[i] != 0) ? ofv - 1 : ofv;
+            if (idx == 0) {
+                offset = rep[0];
+            } else if (idx == 1) {
+                offset = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+            } else if (idx == 2) {
+                offset = rep[2];
+                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+            } else {
+                offset = rep[0] - 1;
+                if (offset == 0) return 1;
+                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+            }
+        }
+        off_out[i] = (int64_t)offset;
+    }
+    return 0;
+}

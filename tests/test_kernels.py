@@ -114,7 +114,10 @@ def test_source_map_matches_host_executor():
 
         # Device source map + NumPy chase (same semantics as the kernel).
         rep2 = list(INITIAL_REPEAT_OFFSETS)
-        src, total = build_source_map(seqs, len(lits), rep2, out_len)
+        lla = np.array([s[0] for s in seqs], dtype=np.int64)
+        ofva = np.array([s[1] for s in seqs], dtype=np.uint32)
+        mla = np.array([s[2] for s in seqs], dtype=np.int64)
+        src, total = build_source_map(lla, ofva, mla, len(lits), rep2, out_len)
         assert rep1 == rep2
         res = np.empty(total, dtype=np.uint8)
         full = np.concatenate([prior, res])

@@ -29,32 +29,52 @@ import numpy as np
 from ..ops.sequence_codes import resolve_offset
 
 
+def _resolve_offsets(ll, ofv, rep: list[int]) -> np.ndarray:
+    try:
+        from .. import native
+
+        have = native.available()
+    except ImportError:
+        have = False
+    if have:
+        from .. import native
+
+        rep_arr = np.asarray(rep, dtype=np.uint64)
+        offs = native.resolve_offsets(ll, ofv, rep_arr)  # ValueError on corrupt
+        rep[:] = [int(r) for r in rep_arr]
+        return offs
+    return np.array(
+        [resolve_offset(int(v), int(l), rep) for l, v in zip(ll, ofv)],
+        dtype=np.int64,
+    )
+
+
 def build_source_map(
-    sequences: list[tuple[int, int, int]],
+    ll,
+    ofv,
+    ml,
     n_literals: int,
     rep: list[int],
     out_base: int,
 ):
     """Per-byte source map for one block's execution.
 
-    ``sequences`` are (ll, offset_value, ml) triples; ``out_base`` is
-    the frame-output length before this block.  Returns
+    ``ll``/``ofv``/``ml`` are the block's decoded sequence arrays;
+    ``out_base`` is the frame-output length before this block.  Returns
     (src int64[block_out], total) where ``src[j] < 0`` encodes literal
     ``-src[j] - 1`` and ``src[j] >= 0`` is an absolute frame-output
     position.  Mutates ``rep`` (the repeat-offset history).
     """
-    if not sequences:
+    if len(ll) == 0:
         src = -np.arange(1, n_literals + 1, dtype=np.int64)
         return src, n_literals
 
-    ll = np.array([s[0] for s in sequences], dtype=np.int64)
-    ml = np.array([s[2] for s in sequences], dtype=np.int64)
+    ll = np.asarray(ll, dtype=np.int64)
+    ml = np.asarray(ml, dtype=np.int64)
     # The repeat-offset scan is the cheap intrinsically-serial pass
-    # (SURVEY.md §7 hard part #4); it stays host-side.
-    offs = np.array(
-        [resolve_offset(int(s[1]), int(s[0]), rep) for s in sequences],
-        dtype=np.int64,
-    )
+    # (SURVEY.md §7 hard part #4); it stays host-side — in C when
+    # available (1.5M-sequence frames cost seconds as a Python loop).
+    offs = _resolve_offsets(ll, ofv, rep)
     trailing = n_literals - int(ll.sum())
     if trailing < 0:
         raise ValueError("literal runs exceed available literals")
@@ -95,18 +115,31 @@ def resolve_and_materialize(src, literals, *, rounds: int = 25):
     """Pointer-double ``src`` to literal origins, then materialize.
 
     ``src`` int32[T]: negative = literal index encoding, else an
-    absolute output position (strictly less than its own).  After
-    ``rounds`` doublings every chain of length < 2^rounds terminates.
-    Returns uint8[T].
+    absolute output position (strictly less than its own).  Doubling
+    runs in a ``while_loop`` that stops as soon as every byte has
+    resolved to a literal — real streams' match chains are usually
+    < 2^4 deep, so this typically runs a handful of the up-to-
+    ``rounds`` iterations.  Returns uint8[T].
+
+    Measured floor (v5e, clean process): XLA lowers the whole-buffer
+    1-D gather at ~0.12 G elem/s, i.e. ~8 ns/byte *per round* — which
+    is why the engine's default execution path is the C memcpy
+    executor and this kernel is the pure-device alternative
+    (BASELINE.md r2 notes).
     """
     import jax
     import jax.numpy as jnp
 
-    def body(s, _):
-        nxt = s[jnp.clip(s, 0)]
-        return jnp.where(s >= 0, nxt, s), None
+    def cond(state):
+        i, s = state
+        return (i < rounds) & jnp.any(s >= 0)
 
-    src, _ = jax.lax.scan(body, src, None, length=rounds)
+    def body(state):
+        i, s = state
+        nxt = s[jnp.clip(s, 0)]
+        return i + 1, jnp.where(s >= 0, nxt, s)
+
+    _, src = jax.lax.while_loop(cond, body, (jnp.int32(0), src))
     return literals[jnp.clip(-src - 1, 0)]
 
 

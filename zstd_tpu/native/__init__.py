@@ -96,6 +96,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p,  # lit_out
             ctypes.POINTER(ctypes.c_size_t),  # lit_len io
         ]
+        lib.zt_resolve_offsets.restype = ctypes.c_int
+        lib.zt_resolve_offsets.argtypes = [
+            ctypes.c_void_p,  # ll int32*
+            ctypes.c_void_p,  # ofv uint32*
+            ctypes.c_size_t,  # n
+            ctypes.c_void_p,  # rep uint64[3]
+            ctypes.c_void_p,  # off_out int64*
+        ]
         lib.zt_huffman_decode_stream.restype = ctypes.c_int
         lib.zt_huffman_decode_stream.argtypes = [
             ctypes.c_char_p,
@@ -256,4 +264,22 @@ def huffman_decode_stream(
     )
     if status != 0:
         raise ValueError(f"huffman stream decode failed (status {status})")
+    return out
+
+
+def resolve_offsets(ll, ofv, rep: np.ndarray) -> np.ndarray:
+    """Resolve (ll, offset_value) pairs to actual offsets; mutates the
+    uint64[3] ``rep`` history.  Raises ValueError on a null offset."""
+    lib = _load()
+    if lib is None:
+        raise NativeUnavailable("native library not built")
+    ll = np.ascontiguousarray(ll, dtype=np.int32)
+    ofv = np.ascontiguousarray(ofv, dtype=np.uint32)
+    out = np.empty(len(ll), dtype=np.int64)
+    status = lib.zt_resolve_offsets(
+        ll.ctypes.data, ofv.ctypes.data, len(ll), rep.ctypes.data,
+        out.ctypes.data,
+    )
+    if status != 0:
+        raise ValueError("null offset in sequence stream")
     return out

@@ -575,8 +575,7 @@ class DeviceEngine:
                 out_base += len(literals)
                 continue
             ll, ofv, ml = seq_outs[bp.seq_lane]
-            triples = list(zip(ll.tolist(), ofv.tolist(), ml.tolist()))
-            src, total = build_source_map(triples, len(literals), rep, out_base)
+            src, total = build_source_map(ll, ofv, ml, len(literals), rep, out_base)
             # Every match byte must reference already-materialized output.
             match_srcs = src[src >= 0]
             if match_srcs.size and (
