@@ -4,7 +4,7 @@ This is the host/device cut (SURVEY.md §3.1): everything above block
 *decoding* — frame/block/section headers, tiny FSE/Huffman table builds,
 repeat-mode resolution — happens here, serially and cheaply; everything
 byte-volume — Huffman literals, tANS sequence triples — becomes lanes of
-the batched device kernels (zstd_tpu/kernels/entropy.py).
+the batched device kernels (zstd_tpu/kernels/entropy2.py).
 
 The plan carries per-block *assembly* metadata so the runtime can stitch
 frame outputs in order, and per-frame fallback flags: any stream that
@@ -28,34 +28,10 @@ from .frame import MAX_WINDOW_SIZE, SkippableFrame, ZstdFrame, iter_frames
 from .literals import LiteralsType, stream_regen_sizes
 from .sequences import SeqMode, SeqModeDesc
 
-HUFF_LUT_SIZE = 2048  # uniform 11-bit index
 FSE_SLOT_SIZE = 512  # AL <= 9
 MAX_BLOCK_SIZE = 128 << 10  # RFC 8878 §3.1.1.2.3
 # Smallest sequence regenerates 3 bytes (ml >= 3, ll >= 0).
 MAX_SEQUENCES_PER_BLOCK = MAX_BLOCK_SIZE // 3 + 1
-
-
-def pack_huffman_lut(table: HuffmanTable) -> np.ndarray:
-    """Expand a flat Huffman table to the uniform 11-bit index width.
-
-    ``lut11[i] = packed[i >> (11 - max_bits)]`` — every kernel lane then
-    peeks exactly 11 bits regardless of the table's true depth.
-    """
-    packed = table.symbol.astype(np.int32) << 4 | table.nbits.astype(np.int32)
-    shift = 11 - table.max_bits
-    idx = np.arange(HUFF_LUT_SIZE, dtype=np.int64) >> shift
-    return packed[idx]
-
-
-def pack_fse_table(table: fse_ops.FseTable) -> np.ndarray:
-    """Pack an FSE decode table into 512 int32 slots (zero-padded)."""
-    out = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
-    out[: table.size] = (
-        table.baseline.astype(np.int32) << 16
-        | table.symbol.astype(np.int32) << 4
-        | table.nbits.astype(np.int32)
-    )
-    return out
 
 
 def pack_huffman_canonical(table: HuffmanTable) -> dict[str, np.ndarray]:
@@ -153,17 +129,6 @@ def pack_rle_dual(byte: int, kind: str) -> tuple[np.ndarray, np.ndarray]:
     return p0, p1
 
 
-def pack_rle_table(byte: int) -> np.ndarray:
-    """An RLE sequence-code 'table': one state, zero bits (AL = 0).
-
-    Unifies the reference's RLEDecoder (rle.rs:6-34) with the FSE path:
-    state stays 0, emits ``byte``, reads no bits.
-    """
-    out = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
-    out[0] = byte << 4
-    return out
-
-
 class _FseBank:
     """Slot allocator for FSE/RLE sequence tables shipped to the device.
 
@@ -174,20 +139,16 @@ class _FseBank:
     """
 
     def __init__(self) -> None:
-        self.tables: list[np.ndarray] = []  # v1 packed (512,)
-        self.p0s: list[np.ndarray] = []  # v2 transition plane
-        self.p1s: list[np.ndarray] = []  # v2 value plane
-        self.als: list[int] = []
+        self.p0s: list[np.ndarray] = []  # transition plane
+        self.p1s: list[np.ndarray] = []  # value plane
         self._predef: dict[str, int] = {}
         self._rle: dict[tuple[str, int], int] = {}
 
     def add(self, table: fse_ops.FseTable, kind: str) -> int:
         p0, p1 = pack_fse_dual(table, kind)  # may raise SymbolCodeTooLarge
-        self.tables.append(pack_fse_table(table))
         self.p0s.append(p0)
         self.p1s.append(p1)
-        self.als.append(table.accuracy_log)
-        return len(self.tables) - 1
+        return len(self.p0s) - 1
 
     def predefined(self, kind: str) -> int:
         if kind not in self._predef:
@@ -203,23 +164,16 @@ class _FseBank:
         key = (kind, byte)
         if key not in self._rle:
             p0, p1 = pack_rle_dual(byte, kind)  # may raise
-            self.tables.append(pack_rle_table(byte))
             self.p0s.append(p0)
             self.p1s.append(p1)
-            self.als.append(0)
-            self._rle[key] = len(self.tables) - 1
+            self._rle[key] = len(self.p0s) - 1
         return self._rle[key]
 
-    def stack(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        if not self.tables:
+    def stack(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self.p0s:
             z = np.zeros((1, FSE_SLOT_SIZE), dtype=np.int32)
-            return z, np.zeros(1, dtype=np.int32), z.copy(), z.copy()
-        return (
-            np.stack(self.tables),
-            np.asarray(self.als, dtype=np.int32),
-            np.stack(self.p0s),
-            np.stack(self.p1s),
-        )
+            return z, z.copy()
+        return np.stack(self.p0s), np.stack(self.p1s)
 
 
 class _WordBuffer:
@@ -290,7 +244,6 @@ class BatchPlan:
     lit_p0: np.ndarray
     lit_regen: np.ndarray
     lit_slot: np.ndarray
-    huff_luts: np.ndarray  # (n_tables, 2048) int32
     # Sequence lanes:
     seq_base: np.ndarray
     seq_p0: np.ndarray
@@ -301,9 +254,6 @@ class BatchPlan:
     seq_ll_al: np.ndarray
     seq_of_al: np.ndarray
     seq_ml_al: np.ndarray
-    fse_tables: np.ndarray  # (n_slots, 512) int32 (v1 packed)
-    fse_als: np.ndarray
-    # v2 table forms:
     fse_p0: np.ndarray  # (n_slots, 512) int32 transition plane
     fse_p1: np.ndarray  # (n_slots, 512) int32 value plane
     huff_limits: np.ndarray  # (n_tables, 12) int32
@@ -325,7 +275,6 @@ class _Builder:
     def __init__(self) -> None:
         self.wb = _WordBuffer()
         self.fse = _FseBank()
-        self.huff_luts: list[np.ndarray] = []
         self.huff_canon: list[dict[str, np.ndarray]] = []
         self.lit = {k: [] for k in ("base", "p0", "regen", "slot")}
         self.seq = {
@@ -441,9 +390,8 @@ def build_batch_plan(
                     except ZstdError as e:
                         fp.fallback, fp.fallback_reason = True, f"huffman: {e}"
                         continue
-                    builder.huff_luts.append(pack_huffman_lut(table))
                     builder.huff_canon.append(pack_huffman_canonical(table))
-                    huff_slot = len(builder.huff_luts) - 1
+                    huff_slot = len(builder.huff_canon) - 1
                 if huff_slot is None:
                     fp.fallback, fp.fallback_reason = True, "treeless w/o table"
                     continue
@@ -484,12 +432,7 @@ def build_batch_plan(
             bp.seq_lane = lane
             cur["ll"], cur["of"], cur["ml"] = specs
 
-    fse_tables, fse_als, fse_p0, fse_p1 = builder.fse.stack()
-    huff_luts = (
-        np.stack(builder.huff_luts)
-        if builder.huff_luts
-        else np.zeros((1, HUFF_LUT_SIZE), dtype=np.int32)
-    )
+    fse_p0, fse_p1 = builder.fse.stack()
     if builder.huff_canon:
         canon = {
             key: np.stack([c[key] for c in builder.huff_canon])
@@ -511,7 +454,6 @@ def build_batch_plan(
         lit_p0=i32(builder.lit["p0"]),
         lit_regen=i32(builder.lit["regen"]),
         lit_slot=i32(builder.lit["slot"]),
-        huff_luts=huff_luts,
         seq_base=i32(builder.seq["base"]),
         seq_p0=i32(builder.seq["p0"]),
         seq_nseq=i32(builder.seq["nseq"]),
@@ -521,8 +463,6 @@ def build_batch_plan(
         seq_ll_al=i32(builder.seq["ll_al"]),
         seq_of_al=i32(builder.seq["of_al"]),
         seq_ml_al=i32(builder.seq["ml_al"]),
-        fse_tables=fse_tables,
-        fse_als=fse_als,
         fse_p0=fse_p0,
         fse_p1=fse_p1,
         huff_limits=canon["limits"],

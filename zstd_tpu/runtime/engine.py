@@ -5,13 +5,16 @@ Pipeline (SURVEY.md §7):
 
 1. ``build_batch_plan`` parses everything and lays each entropy stream
    out as a kernel lane.
-2. Lanes are bucketed by symbol count (next power of two) so jit
-   recompiles stay bounded while short lanes don't pay for long ones.
-3. ``decode_literals_batch`` / ``decode_sequences_batch`` run wide on
-   the device.
+2. Lanes are grouped into a few pow2-step calls (``_tier_split``) —
+   what scales with steps is the relay output fetch, not compute — and
+   all calls dispatch asynchronously before any result is fetched.
+3. ``decode_literals_v2`` / ``decode_sequences_v2`` (kernels/entropy2)
+   run wide on the device; sequence outputs are bit-packed for the
+   fetch path, with a wide-format retry for overflow/stall lanes.
 4. Frames are stitched in order on the host: raw/RLE copies, literal
    stream concatenation, repeat-offset resolution + LZ77 execution
-   (device execution lands in M2), checksum verification.
+   (C executor by default, pure-device optional), checksum
+   verification.
 
 Any lane whose kernel status fails — and any frame the prepass flagged —
 is re-decoded by the host oracle, so the engine's output is bit-exact by
