@@ -141,6 +141,7 @@ class _FseBank:
     def __init__(self) -> None:
         self.p0s: list[np.ndarray] = []  # transition plane
         self.p1s: list[np.ndarray] = []  # value plane
+        self.als: list[int] = []  # accuracy log per slot
         self._predef: dict[str, int] = {}
         self._rle: dict[tuple[str, int], int] = {}
 
@@ -148,6 +149,7 @@ class _FseBank:
         p0, p1 = pack_fse_dual(table, kind)  # may raise SymbolCodeTooLarge
         self.p0s.append(p0)
         self.p1s.append(p1)
+        self.als.append(table.accuracy_log)
         return len(self.p0s) - 1
 
     def predefined(self, kind: str) -> int:
@@ -166,6 +168,7 @@ class _FseBank:
             p0, p1 = pack_rle_dual(byte, kind)  # may raise
             self.p0s.append(p0)
             self.p1s.append(p1)
+            self.als.append(0)
             self._rle[key] = len(self.p0s) - 1
         return self._rle[key]
 
