@@ -102,11 +102,11 @@ def test_sequence_dispatch_honesty(monkeypatch):
     payload = (b"dispatch honesty %d " * 600) % tuple(range(600))
     comp = libzstd.compress(payload, 6, checksum=True)
     calls = []
-    orig_w = DeviceEngine._run_sequences_wide
+    orig_w = DeviceEngine._dispatch_sequences
     orig_q = DeviceEngine._run_sequences_queued
     monkeypatch.setattr(
         DeviceEngine,
-        "_run_sequences_wide",
+        "_dispatch_sequences",
         lambda self, plan, subset=None: calls.append("wide")
         or orig_w(self, plan, subset),
     )
@@ -173,9 +173,10 @@ def test_stats_populated(engine):
 
 def _stall_heavy_frame():
     """Handcraft a frame whose sequence streams sustain near-worst-case
-    bit bursts (large-offset + large-ll/ml extras + spread FSE codes),
-    the workload that stalls sequence-kernel slots and pins the
-    schedule.seq_slot_bound step heuristic (VERDICT r1 weak #7)."""
+    bit bursts (large-offset + large-ll/ml extras + spread FSE codes) —
+    the workload that pins the kernels' never-stall invariant
+    (entropy2.SEQ_BUF_WORDS) and the exact step bounds (VERDICT r1
+    weak #7)."""
     from zstd_tpu.encode import (
         MAGIC_ZSTD,
         _frame_header,
@@ -233,6 +234,46 @@ def _stall_heavy_frame():
     out += b"".join(body_blocks)
     del nblocks_hdr
     return bytes(out), bytes(payload)
+
+
+def test_packed_overflow_retries_on_wide_kernel():
+    # One sequence with a >64 KiB literal run overflows the narrow
+    # 8 B/slot packing (ll > 0xFFFF) — the engine must transparently
+    # retry that lane on the wide kernel, with no oracle fallback.
+    from zstd_tpu.encode import (
+        MAGIC_ZSTD,
+        _frame_header,
+        encode_literals_section,
+        encode_sequences_section,
+        offsets_to_values,
+    )
+
+    rng = np.random.default_rng(7)
+    lits = rng.integers(0, 256, 80_000, dtype=np.uint8)
+    lls = np.asarray([70_000, 9_000], dtype=np.int64)
+    offs = np.asarray([1_000, 40_000])
+    mls = np.asarray([500, 700], dtype=np.int64)
+    payload = bytearray(bytes(lits[:70_000]))
+    for _ in range(500):
+        payload.append(payload[-1_000])
+    payload += bytes(lits[70_000:79_000])
+    for _ in range(700):
+        payload.append(payload[-40_000])
+    payload += bytes(lits[79_000:])
+    ofv = offsets_to_values(lls, offs, [1, 4, 8])
+    body = encode_literals_section(lits) + encode_sequences_section(lls, ofv, mls)
+    data = bytes(
+        MAGIC_ZSTD.to_bytes(4, "little")
+        + _frame_header(len(payload), False, False, 20)
+        + (1 | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+        + bytes(body)
+    )
+    assert oracle_decompress(data) == bytes(payload)
+    if libzstd.available():
+        assert libzstd.decompress(data) == bytes(payload)
+    eng = DeviceEngine()
+    assert eng.decompress(data) == bytes(payload)
+    assert eng.stats.fallback_frames == 0
 
 
 def test_stall_heavy_sequences_no_fallback():

@@ -46,29 +46,57 @@ U32 = jnp.uint32
 LIT_SYMS_PER_STEP = 32
 LIT_BUF_WORDS = 3
 SEQ_SLOTS_PER_STEP = 8
-SEQ_BUF_WORDS = 4
+SEQ_BUF_WORDS = 6
 SEQ_MAX_BITS = 90  # of extra <= 31, ml/ll extra <= 16, 3 updates <= 9 each
 
+# Never-stall invariant: each sequence slot refills 3 words (96 bits of
+# inflow, phantom zeros past the stream start) against a worst-case
+# outflow of SEQ_MAX_BITS = 90, and the 6-word (192-bit) buffer always
+# has room for the inflow after any legal consume — so ``nbits >= 96``
+# holds before every sequence and a slot never stalls.  Step counts are
+# therefore exact (ceil(nseq / SEQ_SLOTS_PER_STEP)) and slot validity
+# is a pure per-lane prefix.
 
-@partial(jax.jit, static_argnames=("max_steps",))
-def decode_literals_v2(
-    words,  # uint32[W]
-    base,  # int32[L]
-    p0,  # int32[L]
-    regen,  # int32[L]
-    limits,  # int32[L, 12]  class end boundaries in 11-bit window space
-    prevs,  # int32[L, 12]  class start boundaries
-    lengths,  # int32[L, 12]  code length per class
-    rankb,  # int32[L, 12]  first symbol rank per class
-    ranked,  # int32[L, 256] symbol value by rank
-    *,
+
+def _dense_indices(cum, n_dense: int, n_lanes: int):
+    """Flat gather indices compacting per-lane prefixes into one array.
+
+    ``cum`` is int32[L + 1] (cum[j]..cum[j+1] = lane j's dense range).
+    Element ``i`` of the dense output maps to source element
+    ``(i - cum[lane]) * L + lane`` of a row-major (rows, L) plane —
+    lane attribution is a scatter of L boundary marks + cumsum, never a
+    per-element search.  Positions past cum[-1] are padding (clipped
+    gathers, garbage values the host never reads).
+    """
+    marks = jnp.zeros(n_dense, jnp.int32).at[cum[1:]].add(1, mode="drop")
+    lane = jnp.cumsum(marks)
+    start = jnp.take(cum, lane, mode="clip")
+    k = jax.lax.iota(jnp.int32, n_dense) - start
+    return k * n_lanes + lane
+
+
+def _compact(plane, cum, n_dense: int):
+    """Gather each lane's first cum[j+1]-cum[j] rows of a
+    (steps, slots, L) plane into a dense 1-D array (see module note on
+    the never-stall prefix invariant)."""
+    n_lanes = plane.shape[-1]
+    idx = _dense_indices(cum, n_dense, n_lanes)
+    return jnp.take(plane.reshape(-1), idx, mode="clip")
+
+
+def _literals_scan(
+    words,
+    base,
+    p0,
+    regen,
+    limits,
+    prevs,
+    lengths,
+    rankb,
+    ranked,
     max_steps: int,
 ):
-    """Decode L huffman streams, 32 symbols per lane per step.
-
-    Returns (packed uint32[max_steps, 8, L] — row r of a step holds
-    symbols 4r..4r+3 LSB-first — and ok bool[L]).
-    """
+    """Shared literals scan: (packed uint32[max_steps, 8, L], ok[L])."""
     iota12 = jax.lax.broadcasted_iota(jnp.int32, (1, 12), 1)
     iota256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
 
@@ -113,6 +141,57 @@ def decode_literals_v2(
     )
     ok = pos == 0
     return ys, ok
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def decode_literals_v2(
+    words,  # uint32[W]
+    base,  # int32[L]
+    p0,  # int32[L]
+    regen,  # int32[L]
+    limits,  # int32[L, 12]  class end boundaries in 11-bit window space
+    prevs,  # int32[L, 12]  class start boundaries
+    lengths,  # int32[L, 12]  code length per class
+    rankb,  # int32[L, 12]  first symbol rank per class
+    ranked,  # int32[L, 256] symbol value by rank
+    *,
+    max_steps: int,
+):
+    """Decode L huffman streams, 32 symbols per lane per step.
+
+    Returns (packed uint32[max_steps, 8, L] — row r of a step holds
+    symbols 4r..4r+3 LSB-first — and ok bool[L]).
+    """
+    return _literals_scan(
+        words, base, p0, regen, limits, prevs, lengths, rankb, ranked, max_steps
+    )
+
+
+@partial(jax.jit, static_argnames=("max_steps", "n_dense"))
+def decode_literals_dense(
+    words,
+    base,
+    p0,
+    regen,
+    cum,  # int32[L + 1] word-count prefix sums (ceil(regen / 4))
+    limits,
+    prevs,
+    lengths,
+    rankb,
+    ranked,
+    *,
+    max_steps: int,
+    n_dense: int,
+):
+    """Literals decode with on-device compaction: returns
+    (dense uint32[n_dense] — lane j's packed words at cum[j]..cum[j+1],
+    ok bool[L]).  The fetch then moves only real symbols, not the
+    (steps, lanes) padding — the relay fetch is the end-to-end
+    bottleneck (BASELINE.md)."""
+    ys, ok = _literals_scan(
+        words, base, p0, regen, limits, prevs, lengths, rankb, ranked, max_steps
+    )
+    return _compact(ys, cum, n_dense), ok
 
 
 @partial(jax.jit, static_argnames=("max_steps",))
@@ -265,7 +344,7 @@ def decode_sequences_q(
     nseq = qsel(q_nseq, qi0)
     bs, nbits, wi, top_bits = buf_init(p0, SEQ_BUF_WORDS)
     bs, nbits, wi = buf_insert_top(bs, nbits, wi, top_bits, words, base)
-    for _ in range(3):
+    for _ in range(5):
         bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
     pos = p0
     need_init = nseq > 0
@@ -279,7 +358,7 @@ def decode_sequences_q(
          s_ll, s_of, s_ml, ok) = carry
         out_ll, out_of, out_ml, out_valid = [], [], [], []
         for _slot in range(SEQ_SLOTS_PER_STEP):
-            for _ in range(2):
+            for _ in range(3):
                 bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
             can_init = need_init & (nbits >= al_sum)
             # State init: LL, OF, ML (sequence.rs:59-65), masked.
@@ -359,7 +438,7 @@ def decode_sequences_q(
         need_init = jnp.where(load, nnseq > 0, need_init)
         nbs, nnbits, nwi, ntop = buf_init(np0, SEQ_BUF_WORDS)
         nbs, nnbits, nwi = buf_insert_top(nbs, nnbits, nwi, ntop, words, nbase)
-        for _ in range(2):
+        for _ in range(3):
             nbs, nnbits, nwi = buf_refill(nbs, nnbits, nwi, words, nbase)
         bs = tuple(jnp.where(load, nb, b) for nb, b in zip(nbs, bs))
         nbits = jnp.where(load, nnbits, nbits)
@@ -385,47 +464,29 @@ def decode_sequences_q(
     return ll, ofv, ml, valid, ok
 
 
-@partial(jax.jit, static_argnames=("max_steps", "wide"))
-def decode_sequences_v2(
-    words,  # uint32[W]
-    base,  # int32[L]
-    p0,  # int32[L]
-    nseq,  # int32[L]
-    ll_p0,  # int32[L, 512]  baseline << 16 | nbits
-    ll_p1,  # int32[L, 512]  value_base << 5 | value_extra_bits
+def _sequences_scan(
+    words,
+    base,
+    p0,
+    nseq,
+    ll_p0,
+    ll_p1,
     of_p0,
-    of_p1,  # int32[L, 512]  offset code (value = (1 << code) + extra)
+    of_p1,
     ml_p0,
     ml_p1,
-    ll_al,  # int32[L]
+    ll_al,
     of_al,
     ml_al,
-    *,
     max_steps: int,
-    wide: bool = False,
+    wide: bool,
 ):
-    """Decode L interleaved tANS sequence streams, 8 slots per step.
-
-    Outputs are bit-packed because the decoded triples travel back to
-    the host and the relay fetch path (~35-60 MB/s, BASELINE.md) is the
-    end-to-end bottleneck — the per-slot byte cost IS the wall time:
-
-    * narrow (default, 8 B/slot): returns
-      ``(pa uint32[steps, 8, L], pb uint32[steps, 8, L], ok bool[L])``
-      with ``pa = valid << 31 | offset_value`` and
-      ``pb = ll << 16 | ml``.  A lane whose stream needs more than the
-      packed ranges (offset code >= 31, ll or ml > 0xFFFF — a >64 KiB
-      literal run or match in ONE sequence) reports ``ok = False`` and
-      the engine retries it on the wide form.
-    * wide (12 B/slot): ``(pa, ll int32, ml int32, ok)`` — full RFC
-      ranges (ll/ml <= 131074, offset_value < 2^31; bigger offsets are
-      corrupt for any window <= 8 MiB and stay flagged).
-    """
+    """Shared interleaved-tANS sequence scan (see decode_sequences_v2)."""
     iota512 = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
 
     bs, nbits, wi, top_bits = buf_init(p0, SEQ_BUF_WORDS)
     bs, nbits, wi = buf_insert_top(bs, nbits, wi, top_bits, words, base)
-    for _ in range(3):
+    for _ in range(5):
         bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
     pos = p0
 
@@ -450,7 +511,7 @@ def decode_sequences_v2(
         bs, nbits, wi, pos, s_ll, s_of, s_ml, emitted, bad = carry
         out_a, out_b, out_c = [], [], []
         for _slot in range(SEQ_SLOTS_PER_STEP):
-            for _ in range(2):
+            for _ in range(3):
                 bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
             active = emitted < nseq
             can = active & (nbits >= SEQ_MAX_BITS)
@@ -518,3 +579,80 @@ def decode_sequences_v2(
     pos, emitted, bad = carry[3], carry[7], carry[8]
     ok = (emitted == nseq) & (pos == 0) & ~bad
     return (*planes, ok)
+
+
+@partial(jax.jit, static_argnames=("max_steps", "wide"))
+def decode_sequences_v2(
+    words,  # uint32[W]
+    base,  # int32[L]
+    p0,  # int32[L]
+    nseq,  # int32[L]
+    ll_p0,  # int32[L, 512]  baseline << 16 | nbits
+    ll_p1,  # int32[L, 512]  value_base << 5 | value_extra_bits
+    of_p0,
+    of_p1,  # int32[L, 512]  offset code (value = (1 << code) + extra)
+    ml_p0,
+    ml_p1,
+    ll_al,  # int32[L]
+    of_al,
+    ml_al,
+    *,
+    max_steps: int,
+    wide: bool = False,
+):
+    """Decode L interleaved tANS sequence streams, 8 slots per step.
+
+    Outputs are bit-packed because the decoded triples travel back to
+    the host and the relay fetch path (~35-60 MB/s, BASELINE.md) is the
+    end-to-end bottleneck — the per-slot byte cost IS the wall time:
+
+    * narrow (default, 8 B/slot): returns
+      ``(pa uint32[steps, 8, L], pb uint32[steps, 8, L], ok bool[L])``
+      with ``pa = valid << 31 | offset_value`` and
+      ``pb = ll << 16 | ml``.  A lane whose stream needs more than the
+      packed ranges (offset code >= 31, ll or ml > 0xFFFF — a >64 KiB
+      literal run or match in ONE sequence) reports ``ok = False`` and
+      the engine retries it on the wide form.
+    * wide (12 B/slot): ``(pa, ll int32, ml int32, ok)`` — full RFC
+      ranges (ll/ml <= 131074, offset_value < 2^31; bigger offsets are
+      corrupt for any window <= 8 MiB and stay flagged).
+    """
+    return _sequences_scan(
+        words, base, p0, nseq, ll_p0, ll_p1, of_p0, of_p1, ml_p0, ml_p1,
+        ll_al, of_al, ml_al, max_steps, wide,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_steps", "n_dense"))
+def decode_sequences_dense(
+    words,
+    base,
+    p0,
+    nseq,
+    cum,  # int32[L + 1] sequence-count prefix sums
+    ll_p0,
+    ll_p1,
+    of_p0,
+    of_p1,
+    ml_p0,
+    ml_p1,
+    ll_al,
+    of_al,
+    ml_al,
+    *,
+    max_steps: int,
+    n_dense: int,
+):
+    """Narrow-packed sequence decode with on-device compaction.
+
+    The never-stall invariant makes slot validity a per-lane prefix, so
+    lane j's sequences are exactly its first nseq[j] slots — compacted
+    here into (da uint32[n_dense], db uint32[n_dense], ok bool[L]) with
+    lane j's triples at cum[j]..cum[j+1]; da = valid << 31 | offset
+    value, db = ll << 16 | ml.  The fetch moves 8 B per real sequence
+    instead of per padded slot."""
+    pa, pb, ok = _sequences_scan(
+        words, base, p0, nseq, ll_p0, ll_p1, of_p0, of_p1, ml_p0, ml_p1,
+        ll_al, of_al, ml_al, max_steps, False,
+    )
+    return _compact(pa, cum, n_dense), _compact(pb, cum, n_dense), ok

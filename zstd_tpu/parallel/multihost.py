@@ -71,6 +71,12 @@ class MultihostEngine(DeviceEngine):
 
     # -- scattered dispatch -------------------------------------------------
 
+    def _run_both(self, plan):
+        """Sequential per-phase form: each phase's cross-process
+        exchange is a collective every process must enter in the same
+        order, so the single-process batched-fetch overlap is skipped."""
+        return self._run_literals(plan), self._run_sequences(plan)
+
     def _run_literals(self, plan):
         if self.queue_kernels:
             raise NotImplementedError("queue kernels are single-process")

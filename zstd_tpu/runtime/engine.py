@@ -5,12 +5,15 @@ Pipeline (SURVEY.md §7):
 
 1. ``build_batch_plan`` parses everything and lays each entropy stream
    out as a kernel lane.
-2. Lanes are grouped into a few pow2-step calls (``_tier_split``) —
-   what scales with steps is the relay output fetch, not compute — and
-   all calls dispatch asynchronously before any result is fetched.
-3. ``decode_literals_v2`` / ``decode_sequences_v2`` (kernels/entropy2)
-   run wide on the device; sequence outputs are bit-packed for the
-   fetch path, with a wide-format retry for overflow/stall lanes.
+2. Lanes are grouped into a few pow2-step calls (``_tier_split``); ALL
+   calls of BOTH phases dispatch asynchronously, then one batched
+   device_get fetches every output (the relay fetch is the end-to-end
+   bottleneck).
+3. ``decode_literals_dense`` / ``decode_sequences_dense``
+   (kernels/entropy2) run wide on the device and compact their outputs
+   on-device (never-stall prefix invariant) so the fetch moves only
+   real symbols/triples; a wide-format retry covers packed-range
+   overflow lanes.
 4. Frames are stitched in order on the host: raw/RLE copies, literal
    stream concatenation, repeat-offset resolution + LZ77 execution
    (C executor by default, pure-device optional), checksum
@@ -41,6 +44,18 @@ from .oracle import decode_frame
 def _next_pow2(n: int, lo: int = 8) -> int:
     n = max(n, lo)
     return 1 << (n - 1).bit_length()
+
+
+def _dense_pad(n: int, lo: int = 256) -> int:
+    """Pad a dense output length to a sixteenth-pow2 ladder.
+
+    Dense fetches move real bytes over the relay, so pow2 padding's
+    worst-case 2x is real wall time; rounding up to a multiple of
+    2^(bits-4) caps the waste at 12.5% for a 16-shapes-per-octave jit
+    family."""
+    n = max(n, lo)
+    p = 1 << max((n - 1).bit_length() - 4, 0)
+    return -(-n // p) * p
 
 
 @dataclass
@@ -158,29 +173,25 @@ class DeviceEngine:
             return self._run_sequences_queued(plan)
         return self._run_sequences_wide(plan)
 
-    def _call_literals(self, plan: BatchPlan, sel: np.ndarray, n_real: int, steps: int):
-        """One v2 literals kernel call over the selected lanes."""
-        from ..kernels.entropy2 import decode_literals_v2
+    def _run_both(self, plan: BatchPlan):
+        """Dispatch BOTH phases' kernel calls before fetching anything,
+        then materialize every output in one batched device_get.
 
-        regen = np.where(
-            np.arange(len(sel)) < n_real, plan.lit_regen[sel], 0
-        ).astype(np.int32)
-        slots = plan.lit_slot[sel]
-        lane = lambda a: self._put(a, lane=True)  # noqa: E731
-        ys, lane_ok = decode_literals_v2(
-            self._words_dev(plan),
-            lane(plan.lit_base[sel]),
-            lane(plan.lit_p0[sel]),
-            lane(regen),
-            lane(plan.huff_limits[slots]),
-            lane(plan.huff_prevs[slots]),
-            lane(plan.huff_lengths[slots]),
-            lane(plan.huff_rankb[slots]),
-            lane(plan.huff_ranked[slots]),
-            max_steps=steps,
-        )
-        self.stats.kernel_calls += 1
-        return ys, lane_ok
+        The relay fetch is the end-to-end bottleneck (BASELINE.md), so
+        one batched round-trip — overlapping all remaining device
+        compute — beats per-phase, per-call fetches.  Subclasses with
+        their own phase plumbing (parallel/multihost.py) override this
+        to the sequential form.
+        """
+        if self.queue_kernels:
+            return self._run_literals(plan), self._run_sequences(plan)
+        lit_outs, lit_ok, lp = self._dispatch_literals(plan)
+        seq_outs, seq_ok, sp = self._dispatch_sequences(plan)
+        it = iter(self._fetch_tree(_handles(lp) + _handles(sp)))
+        self._finish_literals(plan, lp, lit_outs, lit_ok, it)
+        self._finish_sequences(plan, sp, seq_outs, seq_ok, it)
+        self._retry_sequences(plan, seq_outs, seq_ok)
+        return (lit_outs, lit_ok), (seq_outs, seq_ok)
 
     def _call_sequences(
         self,
@@ -223,119 +234,179 @@ class DeviceEngine:
         return res
 
     def _run_literals_wide(self, plan: BatchPlan, subset=None):
-        """Wide dispatch of the v2 literals kernel: one call over ALL
-        lanes (two when a long-lane tier would make every lane pay an
-        outlier's step count).
+        outs, ok, pending = self._dispatch_literals(plan, subset)
+        it = iter(self._fetch_tree(_handles(pending)))
+        self._finish_literals(plan, pending, outs, ok, it)
+        return outs, ok
 
-        Measured on v5e: per-step cost is nearly flat in lane count
-        (~170 us at L=128 vs ~270 us at L=1024), so a single wide call
-        beats per-size bucketing — which paid relay dispatch overhead
-        (~30-120 ms/call) and ladder-rounded step counts per bucket.
-        Literal step counts are exact (the kernel never stalls:
-        refill inflow 32 bits per 2 symbols >= max outflow 22 bits),
-        so no retry pass is needed.
+    def _run_sequences_wide(self, plan: BatchPlan, subset=None):
+        outs, ok, pending = self._dispatch_sequences(plan, subset)
+        it = iter(self._fetch_tree(_handles(pending)))
+        self._finish_sequences(plan, pending, outs, ok, it)
+        self._retry_sequences(plan, outs, ok)
+        return outs, ok
+
+    def _dispatch_literals(self, plan: BatchPlan, subset=None):
+        """Dispatch the dense literals kernel over all lanes, grouped
+        into a few pow2-step tiers (two at most: an outlier tier must
+        not drag every lane's step count up).
+
+        Measured on v5e: per-step compute is nearly flat in lane count
+        (~170 us at L=128 vs ~270 us at L=1024) and what scales with
+        output size is the relay fetch — which the dense kernel already
+        compacts to real symbols.  Literal step counts are exact (the
+        kernel never stalls: refill inflow 32 bits per 2 symbols >= max
+        outflow 22 bits), so no retry pass is needed.
 
         ``subset``: decode only these lane indices (multihost binning,
         parallel/multihost.py); other lanes stay (None, ok=True) for
-        the exchange step to fill.
+        the exchange step to fill.  Returns (outs, ok, pending).
         """
-        from ..kernels.entropy2 import LIT_SYMS_PER_STEP
+        from ..kernels.entropy2 import LIT_SYMS_PER_STEP, decode_literals_dense
 
         n = plan.n_lit_lanes
         outs: list[np.ndarray | None] = [None] * n
         ok = np.ones(n, dtype=bool)
+        pending: list[tuple] = []
         if n == 0:
-            return outs, ok
+            return outs, ok, pending
 
         ceil_steps = -(-plan.lit_regen // LIT_SYMS_PER_STEP)
         if subset is not None:
             mask = np.zeros(n, dtype=bool)
             mask[subset] = True
             ceil_steps = np.where(mask, ceil_steps, 0)
-        # Dispatch every call before fetching any result: jax dispatch
-        # is async, so later calls' compute overlaps earlier fetches.
-        pending = []
+        lane = lambda a: self._put(a, lane=True)  # noqa: E731
         for idx, steps in _tier_split(ceil_steps, lo=4):
             sel, n_real = self._pad_lanes(idx)
-            pending.append((idx, self._call_literals(plan, sel, n_real, steps)))
-        for idx, (ys, lane_ok) in pending:
-            arr, lane_ok = self._fetch_tree((ys, lane_ok))
-            flat = (
-                np.ascontiguousarray(arr.transpose(2, 0, 1))
-                .reshape(arr.shape[2], -1)
-                .view(np.uint8)
+            regen = np.where(
+                np.arange(len(sel)) < n_real, plan.lit_regen[sel], 0
+            ).astype(np.int32)
+            cum = np.zeros(len(sel) + 1, dtype=np.int32)
+            np.cumsum(-(-regen // 4), out=cum[1:])
+            n_dense = _dense_pad(int(cum[-1]))
+            slots = plan.lit_slot[sel]
+            handles = decode_literals_dense(
+                self._words_dev(plan),
+                lane(plan.lit_base[sel]),
+                lane(plan.lit_p0[sel]),
+                lane(regen),
+                self._put(cum, lane=False),
+                lane(plan.huff_limits[slots]),
+                lane(plan.huff_prevs[slots]),
+                lane(plan.huff_lengths[slots]),
+                lane(plan.huff_rankb[slots]),
+                lane(plan.huff_ranked[slots]),
+                max_steps=steps,
+                n_dense=n_dense,
             )
-            for j, lane in enumerate(idx):
-                outs[lane] = flat[j, : plan.lit_regen[lane]]
-                ok[lane] = lane_ok[j]
-        return outs, ok
+            self.stats.kernel_calls += 1
+            pending.append((idx, cum, handles))
+        return outs, ok, pending
 
-    def _run_sequences_wide(self, plan: BatchPlan, subset=None):
-        """Wide dispatch of the v2 sequences kernel with optimistic step
-        counts and a retry pass.
-
-        A sequence lane can stall a slot when its 128-bit window holds
-        fewer than the 90-bit worst-case burst; the hard bound
-        (schedule.seq_slot_bound) covers pathological streams but is
-        ~30% above typical need.  So: first call sized for the typical
-        case (nseq + small slack), then one retry call at the hard
-        bound for any lane that didn't finish — rare in practice, and
-        still cheaper than sizing everyone for the worst case.
-        """
-        from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP
-        from .schedule import seq_slot_bound
+    def _dispatch_sequences(self, plan: BatchPlan, subset=None):
+        """Dispatch the dense sequences kernel; step counts are exact
+        (never-stall invariant, kernels/entropy2.py) and the fetch is
+        8 B per real sequence.  Returns (outs, ok, pending)."""
+        from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP, decode_sequences_dense
 
         n = plan.n_seq_lanes
         outs: list[tuple | None] = [None] * n
         ok = np.ones(n, dtype=bool)
+        pending: list[tuple] = []
         if n == 0:
-            return outs, ok
+            return outs, ok, pending
 
-        opt_steps = -(-(plan.seq_nseq + 16) // SEQ_SLOTS_PER_STEP)
+        need_steps = -(-plan.seq_nseq // SEQ_SLOTS_PER_STEP)
         if subset is not None:
             mask = np.zeros(n, dtype=bool)
             mask[subset] = True
-            opt_steps = np.where(mask, opt_steps, 0)
-        pending = []
-        for idx, steps in _tier_split(opt_steps, lo=2, max_calls=4):
+            need_steps = np.where(mask, need_steps, 0)
+        lane = lambda a: self._put(a, lane=True)  # noqa: E731
+        # Dense outputs decouple fetch size from step counts, so tiering
+        # only bounds wasted *compute* (~us/step) — two calls suffice.
+        for idx, steps in _tier_split(need_steps, lo=2, max_calls=2):
             sel, n_real = self._pad_lanes(idx)
-            pending.append((idx, self._call_sequences(plan, sel, n_real, steps)))
-        for idx, res in pending:
-            self._unpack_sequences(plan, idx, res, outs, ok)
+            nseq = np.where(
+                np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
+            ).astype(np.int32)
+            cum = np.zeros(len(sel) + 1, dtype=np.int32)
+            np.cumsum(nseq, out=cum[1:])
+            n_dense = _dense_pad(int(cum[-1]))
+            ll_s, of_s, ml_s = (
+                plan.seq_ll_slot[sel],
+                plan.seq_of_slot[sel],
+                plan.seq_ml_slot[sel],
+            )
+            handles = decode_sequences_dense(
+                self._words_dev(plan),
+                lane(plan.seq_base[sel]),
+                lane(plan.seq_p0[sel]),
+                lane(nseq),
+                self._put(cum, lane=False),
+                lane(plan.fse_p0[ll_s]),
+                lane(plan.fse_p1[ll_s]),
+                lane(plan.fse_p0[of_s]),
+                lane(plan.fse_p1[of_s]),
+                lane(plan.fse_p0[ml_s]),
+                lane(plan.fse_p1[ml_s]),
+                lane(plan.seq_ll_al[sel]),
+                lane(plan.seq_of_al[sel]),
+                lane(plan.seq_ml_al[sel]),
+                max_steps=steps,
+                n_dense=n_dense,
+            )
+            self.stats.kernel_calls += 1
+            pending.append((idx, cum, handles))
+        return outs, ok, pending
 
-        # Retry on the wide (12 B/slot) kernel at the hard step bound:
-        # covers both stall-heavy streams that outran the optimistic
-        # step count and streams whose ll/ml overflow the packed form.
+    def _finish_literals(self, plan, pending, outs, ok, fetched) -> None:
+        for idx, cum, _handles_ in pending:
+            dense, lane_ok = next(fetched), next(fetched)
+            flat = dense.view(np.uint8)
+            for j, lane in enumerate(idx):
+                start = 4 * int(cum[j])
+                outs[lane] = flat[start : start + plan.lit_regen[lane]]
+                ok[lane] = lane_ok[j]
+
+    def _finish_sequences(self, plan, pending, outs, ok, fetched) -> None:
+        for idx, cum, _handles_ in pending:
+            da, db, lane_ok = next(fetched), next(fetched), next(fetched)
+            ofv = da & np.uint32(0x7FFFFFFF)
+            vll = (db >> 16).astype(np.int32)
+            vml = (db & np.uint32(0xFFFF)).astype(np.int32)
+            for j, lane in enumerate(idx):
+                s = int(cum[j])
+                ns = int(plan.seq_nseq[lane])
+                outs[lane] = (vll[s : s + ns], ofv[s : s + ns], vml[s : s + ns])
+                ok[lane] = lane_ok[j]
+
+    def _retry_sequences(self, plan: BatchPlan, outs, ok) -> None:
+        """Re-decode packed-range-overflow lanes (offset code >= 31, or
+        a single >64 KiB literal run / match) on the wide kernel."""
+        from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP
+
+        n = plan.n_seq_lanes
         failed = np.flatnonzero(~ok[:n] & (plan.seq_nseq > 0))
-        if failed.size:
-            hard = -(-seq_slot_bound(plan.seq_nseq[failed], plan.seq_p0[failed])
-                     // SEQ_SLOTS_PER_STEP)
-            steps = _next_pow2(int(hard.max()), lo=2)
-            sel, n_real = self._pad_lanes(failed)
-            ok[failed] = True
-            res = self._call_sequences(plan, sel, n_real, steps, wide=True)
-            self._unpack_sequences(plan, failed, res, outs, ok, wide=True)
-        return outs, ok
+        if not failed.size:
+            return
+        need = -(-plan.seq_nseq[failed] // SEQ_SLOTS_PER_STEP)
+        steps = _next_pow2(int(need.max()), lo=2)
+        sel, n_real = self._pad_lanes(failed)
+        ok[failed] = True
+        res = self._call_sequences(plan, sel, n_real, steps, wide=True)
+        self._unpack_sequences_wide(plan, failed, res, outs, ok)
 
-    def _unpack_sequences(
-        self, plan: BatchPlan, idx, res, outs, ok, wide: bool = False
-    ) -> None:
-        planes, lane_ok = res[:-1], res[-1]
-        fetched = self._fetch_tree((*planes, lane_ok))
-        lane_ok = fetched[-1]
+    def _unpack_sequences_wide(self, plan: BatchPlan, idx, res, outs, ok) -> None:
+        pa, vll_p, vml_p, lane_ok = self._fetch_tree(res)
 
         def to_flat(h):
             return np.ascontiguousarray(h.transpose(2, 0, 1)).reshape(h.shape[2], -1)
 
-        pa = to_flat(fetched[0])
+        pa = to_flat(pa)
         valid = pa >> 31
         ofv = pa & np.uint32(0x7FFFFFFF)
-        if wide:
-            vll, vml = to_flat(fetched[1]), to_flat(fetched[2])
-        else:
-            pb = to_flat(fetched[1])
-            vll = (pb >> 16).astype(np.int32)
-            vml = (pb & np.uint32(0xFFFF)).astype(np.int32)
+        vll, vml = to_flat(vll_p), to_flat(vml_p)
         for j, lane in enumerate(idx):
             mask = valid[j].astype(bool)
             ns = plan.seq_nseq[lane]
@@ -641,8 +712,7 @@ class DeviceEngine:
         t0 = time.perf_counter()
         plan = build_batch_plan(data, max_window_size=self.max_window_size)
         t1 = time.perf_counter()
-        lit_outs, lit_ok = self._run_literals(plan)
-        seq_outs, seq_ok = self._run_sequences(plan)
+        (lit_outs, lit_ok), (seq_outs, seq_ok) = self._run_both(plan)
         t2 = time.perf_counter()
 
         stats.lit_lanes = plan.n_lit_lanes
@@ -684,6 +754,11 @@ class DeviceEngine:
 
     def decompress(self, data, **kw) -> bytes:
         return self.decompress_with_stats(data, **kw)
+
+
+def _handles(pending: list[tuple]) -> list:
+    """Flatten pending calls' device handles for one batched fetch."""
+    return [h for _idx, _cum, hs in pending for h in hs]
 
 
 def _pad_pow2(idx: np.ndarray, lo: int = 32) -> tuple[np.ndarray, int]:

@@ -22,19 +22,17 @@ def _next_pow2(n: int, lo: int = 1) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def seq_slot_bound(nseq: np.ndarray, p0: np.ndarray) -> np.ndarray:
-    """Upper bound on kernel slots a sequence stream can consume.
+def seq_queue_steps(nseq: np.ndarray) -> np.ndarray:
+    """Exact step need of a sequence stream inside a lane queue.
 
-    One slot per sequence, plus one potential stall slot per 64-bit
-    word refill (a stream of ``p0`` initial bits refills at most
-    ``p0 // 64`` times), plus slack for init/flush.  An underestimate
-    is silently expensive — the lane fails its status check and the
-    whole frame falls back to the host oracle — so the bound is
-    deliberately generous.  Shared by the bucketed (engine.py) and
-    queued (pack_seq_queues) dispatchers; pinned by the stall-heavy
-    streams in tests/test_engine.py.
+    The kernels never stall (entropy2.SEQ_BUF_WORDS invariant), so a
+    stream consumes one init slot plus ``nseq`` sequence slots; queue
+    switches land on step boundaries, costing up to one extra step.
+    Pinned by the burst-heavy streams in tests/test_engine.py.
     """
-    return nseq + p0 // 64 + 6
+    from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP
+
+    return -(-(nseq + 1) // SEQ_SLOTS_PER_STEP) + 1
 
 
 @dataclass
@@ -169,9 +167,8 @@ def pack_seq_queues(plan, target_lanes: int = 256) -> QueuePlan | None:
     )
     # Re-index triples densely.
     _, group_ids = np.unique(triple, return_inverse=True)
-    # Per-stream slot need: one per sequence + stall bound + init/switch.
-    slots = seq_slot_bound(plan.seq_nseq, plan.seq_p0)
-    work = -(-slots // SEQ_SLOTS_PER_STEP) + 1
+    # Per-stream step need: init slot + one slot per sequence + switch.
+    work = seq_queue_steps(plan.seq_nseq)
     qp = pack_queues(
         group_ids,
         plan.seq_nseq,
