@@ -174,11 +174,12 @@ def decode_literals_dense(
     p0,
     regen,
     cum,  # int32[L + 1] word-count prefix sums (ceil(regen / 4))
-    limits,
-    prevs,
-    lengths,
-    rankb,
-    ranked,
+    slots,  # int32[L] Huffman table index per lane
+    b_limits,  # int32[T, 12] table BANKS, uploaded once per plan —
+    b_prevs,  # per-lane rows are gathered here on-device instead of
+    b_lengths,  # being host-gathered and re-uploaded per call
+    b_rankb,
+    b_ranked,  # int32[T, 256]
     *,
     max_steps: int,
     n_dense: int,
@@ -188,10 +189,15 @@ def decode_literals_dense(
     ok bool[L]).  The fetch then moves only real symbols, not the
     (steps, lanes) padding — the relay fetch is the end-to-end
     bottleneck (BASELINE.md)."""
+    row = lambda b: jnp.take(b, slots, axis=0)  # noqa: E731
     ys, ok = _literals_scan(
-        words, base, p0, regen, limits, prevs, lengths, rankb, ranked, max_steps
+        words, base, p0, regen,
+        row(b_limits), row(b_prevs), row(b_lengths), row(b_rankb),
+        row(b_ranked), max_steps,
     )
-    return _compact(ys, cum, n_dense), ok
+    # One output array per call: dense words then per-lane ok flags —
+    # each fetched array pays a relay round-trip, so pack everything.
+    return jnp.concatenate([_compact(ys, cum, n_dense), ok.astype(U32)])
 
 
 @partial(jax.jit, static_argnames=("max_steps",))
@@ -630,12 +636,11 @@ def decode_sequences_dense(
     p0,
     nseq,
     cum,  # int32[L + 1] sequence-count prefix sums
-    ll_p0,
-    ll_p1,
-    of_p0,
-    of_p1,
-    ml_p0,
-    ml_p1,
+    ll_slot,  # int32[L] FSE table-bank indices per lane
+    of_slot,
+    ml_slot,
+    bank_p0,  # int32[S, 512] FSE table BANKS (uploaded once per plan)
+    bank_p1,
     ll_al,
     of_al,
     ml_al,
@@ -652,7 +657,16 @@ def decode_sequences_dense(
     value, db = ll << 16 | ml.  The fetch moves 8 B per real sequence
     instead of per padded slot."""
     pa, pb, ok = _sequences_scan(
-        words, base, p0, nseq, ll_p0, ll_p1, of_p0, of_p1, ml_p0, ml_p1,
+        words, base, p0, nseq,
+        jnp.take(bank_p0, ll_slot, axis=0),
+        jnp.take(bank_p1, ll_slot, axis=0),
+        jnp.take(bank_p0, of_slot, axis=0),
+        jnp.take(bank_p1, of_slot, axis=0),
+        jnp.take(bank_p0, ml_slot, axis=0),
+        jnp.take(bank_p1, ml_slot, axis=0),
         ll_al, of_al, ml_al, max_steps, False,
     )
-    return _compact(pa, cum, n_dense), _compact(pb, cum, n_dense), ok
+    # One output array per call (da, db, ok) — see decode_literals_dense.
+    return jnp.concatenate(
+        [_compact(pa, cum, n_dense), _compact(pb, cum, n_dense), ok.astype(U32)]
+    )

@@ -147,13 +147,37 @@ class DeviceEngine:
 
         return [np.asarray(a) for a in jax.device_get(list(xs))]
 
+    def _plan_dev(self, plan) -> dict:
+        """Per-plan device residents, uploaded once per decompress: the
+        u32 words buffer (the largest input) and the FSE/Huffman table
+        BANKS.  Kernels gather per-lane table rows from the banks
+        on-device; re-uploading host-gathered (L, 512)/(L, 256) rows
+        per call used to cost ~4-5 MB of relay upload per decompress.
+        Bank row counts pad to pow2 to bound the jit shape family."""
+        if getattr(self, "_dev_cache", None) is None or self._dev_cache[0] is not plan:
+            def bank(a, lo):
+                rows = _next_pow2(a.shape[0], lo=lo)
+                if rows != a.shape[0]:
+                    a = np.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+                return self._put(a, lane=False)
+
+            self._dev_cache = (
+                plan,
+                {
+                    "words": self._put(plan.words, lane=False),
+                    "fse_p0": bank(plan.fse_p0, 8),
+                    "fse_p1": bank(plan.fse_p1, 8),
+                    "limits": bank(plan.huff_limits, 4),
+                    "prevs": bank(plan.huff_prevs, 4),
+                    "lengths": bank(plan.huff_lengths, 4),
+                    "rankb": bank(plan.huff_rankb, 4),
+                    "ranked": bank(plan.huff_ranked, 4),
+                },
+            )
+        return self._dev_cache[1]
+
     def _words_dev(self, plan):
-        """The plan's u32 words buffer, transferred to device once per
-        decompress (it is the largest input; re-uploading it per kernel
-        call would dominate the relay transfer time)."""
-        if getattr(self, "_words_cache", None) is None or self._words_cache[0] is not plan:
-            self._words_cache = (plan, self._put(plan.words, lane=False))
-        return self._words_cache[1]
+        return self._plan_dev(plan)["words"]
 
     def _pad_lanes(self, idx: np.ndarray) -> tuple[np.ndarray, int]:
         """Mesh-aware lane padding: at least 32 lanes and divisible by
@@ -285,18 +309,19 @@ class DeviceEngine:
             cum = np.zeros(len(sel) + 1, dtype=np.int32)
             np.cumsum(-(-regen // 4), out=cum[1:])
             n_dense = _dense_pad(int(cum[-1]))
-            slots = plan.lit_slot[sel]
+            dev = self._plan_dev(plan)
             handles = decode_literals_dense(
-                self._words_dev(plan),
+                dev["words"],
                 lane(plan.lit_base[sel]),
                 lane(plan.lit_p0[sel]),
                 lane(regen),
                 self._put(cum, lane=False),
-                lane(plan.huff_limits[slots]),
-                lane(plan.huff_prevs[slots]),
-                lane(plan.huff_lengths[slots]),
-                lane(plan.huff_rankb[slots]),
-                lane(plan.huff_ranked[slots]),
+                lane(plan.lit_slot[sel]),
+                dev["limits"],
+                dev["prevs"],
+                dev["lengths"],
+                dev["rankb"],
+                dev["ranked"],
                 max_steps=steps,
                 n_dense=n_dense,
             )
@@ -333,23 +358,18 @@ class DeviceEngine:
             cum = np.zeros(len(sel) + 1, dtype=np.int32)
             np.cumsum(nseq, out=cum[1:])
             n_dense = _dense_pad(int(cum[-1]))
-            ll_s, of_s, ml_s = (
-                plan.seq_ll_slot[sel],
-                plan.seq_of_slot[sel],
-                plan.seq_ml_slot[sel],
-            )
+            dev = self._plan_dev(plan)
             handles = decode_sequences_dense(
-                self._words_dev(plan),
+                dev["words"],
                 lane(plan.seq_base[sel]),
                 lane(plan.seq_p0[sel]),
                 lane(nseq),
                 self._put(cum, lane=False),
-                lane(plan.fse_p0[ll_s]),
-                lane(plan.fse_p1[ll_s]),
-                lane(plan.fse_p0[of_s]),
-                lane(plan.fse_p1[of_s]),
-                lane(plan.fse_p0[ml_s]),
-                lane(plan.fse_p1[ml_s]),
+                lane(plan.seq_ll_slot[sel]),
+                lane(plan.seq_of_slot[sel]),
+                lane(plan.seq_ml_slot[sel]),
+                dev["fse_p0"],
+                dev["fse_p1"],
                 lane(plan.seq_ll_al[sel]),
                 lane(plan.seq_of_al[sel]),
                 lane(plan.seq_ml_al[sel]),
