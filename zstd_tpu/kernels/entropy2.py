@@ -569,6 +569,13 @@ def _sequences_scan(
                 out_b.append(jnp.where(can, ll, 0))
                 out_c.append(jnp.where(can, ml, 0))
             else:
+                # The narrow path's dense compaction assumes slot
+                # validity is a per-lane PREFIX (never-stall invariant,
+                # module note).  Enforce it: a stall (active but not
+                # enough buffered bits) flags the lane so it routes to
+                # the wide retry instead of silently shipping shifted
+                # triples.
+                bad = bad | (active & ~can)
                 bad = bad | (can & ((ll > 0xFFFF) | (ml > 0xFFFF)))
                 pb = (ll.astype(U32) << U32(16)) | (ml.astype(U32) & U32(0xFFFF))
                 out_b.append(jnp.where(can, pb, U32(0)))

@@ -381,8 +381,14 @@ class DeviceEngine:
         return outs, ok, pending
 
     def _finish_literals(self, plan, pending, outs, ok, fetched) -> None:
+        # Each pending call fetched ONE packed uint32 array:
+        # dense words (n_dense) then per-lane ok flags (len(cum) - 1)
+        # — the kernels concatenate so each call costs one round-trip
+        # (kernels/entropy2.py decode_literals_dense).
         for idx, cum, _handles_ in pending:
-            dense, lane_ok = next(fetched), next(fetched)
+            arr = next(fetched)
+            n_dense = arr.size - (len(cum) - 1)
+            dense, lane_ok = arr[:n_dense], arr[n_dense:].astype(bool)
             flat = dense.view(np.uint8)
             for j, lane in enumerate(idx):
                 start = 4 * int(cum[j])
@@ -390,8 +396,15 @@ class DeviceEngine:
                 ok[lane] = lane_ok[j]
 
     def _finish_sequences(self, plan, pending, outs, ok, fetched) -> None:
+        # One packed uint32 array per call: da (n_dense) ‖ db (n_dense)
+        # ‖ ok flags (len(cum) - 1) — see decode_sequences_dense.
         for idx, cum, _handles_ in pending:
-            da, db, lane_ok = next(fetched), next(fetched), next(fetched)
+            arr = next(fetched)
+            n_dense = (arr.size - (len(cum) - 1)) // 2
+            da = arr[:n_dense]
+            db = arr[n_dense : 2 * n_dense]
+            lane_ok = arr[2 * n_dense :].astype(bool)
+            valid = (da >> np.uint32(31)).astype(bool)
             ofv = da & np.uint32(0x7FFFFFFF)
             vll = (db >> 16).astype(np.int32)
             vml = (db & np.uint32(0xFFFF)).astype(np.int32)
@@ -399,7 +412,11 @@ class DeviceEngine:
                 s = int(cum[j])
                 ns = int(plan.seq_nseq[lane])
                 outs[lane] = (vll[s : s + ns], ofv[s : s + ns], vml[s : s + ns])
-                ok[lane] = lane_ok[j]
+                # Belt-and-braces: the dense layout trusts the
+                # never-stall prefix invariant; cross-check the fetched
+                # slots' valid bits so any violation routes the lane to
+                # the wide retry instead of shipping shifted triples.
+                ok[lane] = bool(lane_ok[j]) and bool(valid[s : s + ns].all())
 
     def _retry_sequences(self, plan: BatchPlan, outs, ok) -> None:
         """Re-decode packed-range-overflow lanes (offset code >= 31, or
@@ -777,8 +794,11 @@ class DeviceEngine:
 
 
 def _handles(pending: list[tuple]) -> list:
-    """Flatten pending calls' device handles for one batched fetch."""
-    return [h for _idx, _cum, hs in pending for h in hs]
+    """Collect pending calls' device handles for one batched fetch.
+
+    Each dense kernel call returns ONE packed array (entropy2.py), so
+    each pending entry contributes exactly one handle."""
+    return [hs for _idx, _cum, hs in pending]
 
 
 def _pad_pow2(idx: np.ndarray, lo: int = 32) -> tuple[np.ndarray, int]:
