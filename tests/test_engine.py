@@ -286,3 +286,37 @@ def test_stall_heavy_sequences_no_fallback():
         eng = DeviceEngine(**kw)
         assert eng.decompress(data) == payload, kw
         assert eng.stats.fallback_frames == 0, kw
+
+
+def test_injected_kernel_exception_falls_back_to_oracle(monkeypatch):
+    # The engine's one absolute promise (engine.py module docstring):
+    # bit-exact by construction.  An UNanticipated exception class from
+    # the kernel phase — not just an ok-flag trip — must degrade to the
+    # oracle, never escape to the caller.
+    payload = (b"exception safety %d " * 400) % tuple(range(400))
+    comp = libzstd.compress(payload, 6, checksum=True)
+
+    def boom(self, plan):
+        raise ValueError("injected kernel bug")
+
+    monkeypatch.setattr(DeviceEngine, "_run_both", boom)
+    eng = DeviceEngine()
+    out = eng.decompress(comp)
+    assert out == payload
+    assert eng.stats.fallback_frames >= 1
+    assert any("kernel phase" in r for r in eng.stats.fallback_reasons)
+
+
+def test_injected_assembly_exception_falls_back_to_oracle(monkeypatch):
+    payload = (b"assembly safety %d " * 400) % tuple(range(400))
+    comp = libzstd.compress(payload, 6, checksum=True)
+
+    def boom(self, fp, lit_outs, seq_outs):
+        raise IndexError("injected assembly bug")
+
+    monkeypatch.setattr(DeviceEngine, "_assemble_frame", boom)
+    eng = DeviceEngine()
+    out = eng.decompress(comp)
+    assert out == payload
+    assert eng.stats.fallback_frames >= 1
+    assert any("assembly" in r for r in eng.stats.fallback_reasons)

@@ -1,8 +1,6 @@
 """Device decode kernels.
 
-* ``bitstream.py``   — windowed backward-bit reads (v1, gather-based)
 * ``bitbuf.py``      — per-lane N-word buffered bit windows (v2)
-* ``entropy.py``     — v1 batched Huffman/tANS kernels (gather lookups)
 * ``entropy2.py``    — v2 kernels (select-based lookups, tile-aligned
   emission) + work-conserving queue variants
 * ``lz77_device.py`` — pointer-doubling sequence execution (M2)

@@ -26,6 +26,7 @@ construction.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -39,6 +40,8 @@ from ..ops.sequence_codes import INITIAL_REPEAT_OFFSETS
 from ..utils.errors import ChecksumMismatch, ImpossibleValue
 from ..utils.xxh64 import xxh64
 from .oracle import decode_frame
+
+_log = logging.getLogger(__name__)
 
 
 def _next_pow2(n: int, lo: int = 8) -> int:
@@ -69,6 +72,7 @@ class EngineStats:
     lit_lanes: int = 0
     seq_lanes: int = 0
     fallback_frames: int = 0
+    fallback_reasons: list = field(default_factory=list)
     kernel_calls: int = 0
     wall_s: dict = field(default_factory=dict)
 
@@ -81,6 +85,7 @@ class EngineStats:
             "lit_lanes": self.lit_lanes,
             "seq_lanes": self.seq_lanes,
             "fallback_frames": self.fallback_frames,
+            "fallback_reasons": list(self.fallback_reasons),
             "kernel_calls": self.kernel_calls,
             "wall_s": dict(self.wall_s),
         }
@@ -749,7 +754,19 @@ class DeviceEngine:
         t0 = time.perf_counter()
         plan = build_batch_plan(data, max_window_size=self.max_window_size)
         t1 = time.perf_counter()
-        (lit_outs, lit_ok), (seq_outs, seq_ok) = self._run_both(plan)
+        try:
+            (lit_outs, lit_ok), (seq_outs, seq_ok) = self._run_both(plan)
+        except Exception as e:  # last-resort: degrade to slow-but-correct
+            # The module contract (see docstring) promises bit-exactness
+            # by construction: an UNanticipated kernel failure (not just
+            # an ok-flag trip) must route every lane-bearing frame to
+            # the host oracle, never escape to the caller.
+            _log.warning("kernel phase failed, falling back to oracle: %r", e)
+            stats.fallback_reasons.append(f"kernel phase: {e!r}")
+            lit_outs = [None] * plan.n_lit_lanes
+            seq_outs = [None] * plan.n_seq_lanes
+            lit_ok = np.zeros(plan.n_lit_lanes, dtype=bool)
+            seq_ok = np.zeros(plan.n_seq_lanes, dtype=bool)
         t2 = time.perf_counter()
 
         stats.lit_lanes = plan.n_lit_lanes
@@ -767,16 +784,30 @@ class DeviceEngine:
                 stats.fallback_frames += 1
                 out += decode_frame(fp.frame, verify_checksum=verify_checksum)
                 continue
-            frame_out = self._assemble_frame(fp, lit_outs, seq_outs)
-            header = fp.frame.header
-            if header.checksum_flag and verify_checksum:
-                computed = xxh64(frame_out) & 0xFFFFFFFF
-                if computed != fp.frame.checksum:
-                    raise ChecksumMismatch(computed, fp.frame.checksum)
-            if header.content_size is not None and len(frame_out) != header.content_size:
-                raise ImpossibleValue(
-                    f"frame decoded {len(frame_out)}, header says {header.content_size}"
-                )
+            try:
+                frame_out = self._assemble_frame(fp, lit_outs, seq_outs)
+                header = fp.frame.header
+                if header.checksum_flag and verify_checksum:
+                    computed = xxh64(frame_out) & 0xFFFFFFFF
+                    if computed != fp.frame.checksum:
+                        raise ChecksumMismatch(computed, fp.frame.checksum)
+                if (
+                    header.content_size is not None
+                    and len(frame_out) != header.content_size
+                ):
+                    raise ImpossibleValue(
+                        f"frame decoded {len(frame_out)}, "
+                        f"header says {header.content_size}"
+                    )
+            except Exception as e:
+                # Assembly/validation failed: re-decode the frame with
+                # the oracle.  A kernel bug thereby degrades to correct
+                # bytes; genuine corruption re-raises from the oracle as
+                # the same typed error the host path would produce.
+                _log.warning("frame assembly failed, oracle fallback: %r", e)
+                stats.fallback_frames += 1
+                stats.fallback_reasons.append(f"assembly: {e!r}")
+                frame_out = decode_frame(fp.frame, verify_checksum=verify_checksum)
             out += frame_out
         t3 = time.perf_counter()
 
