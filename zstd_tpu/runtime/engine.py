@@ -74,6 +74,8 @@ class EngineStats:
     fallback_frames: int = 0
     fallback_reasons: list = field(default_factory=list)
     kernel_calls: int = 0
+    upload_bytes: int = 0
+    fetch_bytes: int = 0
     wall_s: dict = field(default_factory=dict)
 
     def as_dict(self) -> dict:
@@ -87,6 +89,8 @@ class EngineStats:
             "fallback_frames": self.fallback_frames,
             "fallback_reasons": list(self.fallback_reasons),
             "kernel_calls": self.kernel_calls,
+            "upload_bytes": self.upload_bytes,
+            "fetch_bytes": self.fetch_bytes,
             "wall_s": dict(self.wall_s),
         }
 
@@ -121,6 +125,13 @@ class DeviceEngine:
         # kernels run GSPMD — the single-chip and sharded paths share
         # every line of dispatch (SURVEY.md §2.3 DP).
         self.mesh = mesh
+        # When set, _run_both inserts a block_until_ready barrier
+        # between dispatch and fetch and records the phase split
+        # (dispatch / device compute / fetch) in stats.wall_s — a
+        # measurement mode: the barrier stops the fetch from
+        # overlapping residual device compute, so leave it off in
+        # production paths.
+        self.measure_phases = False
         self.stats = EngineStats()
 
     # -- array placement (mesh-aware; multihost overrides in parallel/) -----
@@ -131,6 +142,7 @@ class DeviceEngine:
         import jax.numpy as jnp
 
         x = jnp.asarray(a)
+        self.stats.upload_bytes += int(x.nbytes)
         if self.mesh is None:
             return x
         import jax
@@ -150,7 +162,9 @@ class DeviceEngine:
         the relay round-trips; ~2x the serial np.asarray throughput)."""
         import jax
 
-        return [np.asarray(a) for a in jax.device_get(list(xs))]
+        out = [np.asarray(a) for a in jax.device_get(list(xs))]
+        self.stats.fetch_bytes += sum(int(a.nbytes) for a in out)
+        return out
 
     def _plan_dev(self, plan) -> dict:
         """Per-plan device residents, uploaded once per decompress: the
@@ -214,9 +228,27 @@ class DeviceEngine:
         """
         if self.queue_kernels:
             return self._run_literals(plan), self._run_sequences(plan)
-        lit_outs, lit_ok, lp = self._dispatch_literals(plan)
-        seq_outs, seq_ok, sp = self._dispatch_sequences(plan)
-        it = iter(self._fetch_tree(_handles(lp) + _handles(sp)))
+        if self.measure_phases:
+            import time
+
+            import jax
+
+            t0 = time.perf_counter()
+            lit_outs, lit_ok, lp = self._dispatch_literals(plan)
+            seq_outs, seq_ok, sp = self._dispatch_sequences(plan)
+            handles = _handles(lp) + _handles(sp)
+            t1 = time.perf_counter()
+            jax.block_until_ready(handles)
+            t2 = time.perf_counter()
+            it = iter(self._fetch_tree(handles))
+            t3 = time.perf_counter()
+            self.stats.wall_s["dispatch"] = t1 - t0
+            self.stats.wall_s["device_compute"] = t2 - t1
+            self.stats.wall_s["fetch"] = t3 - t2
+        else:
+            lit_outs, lit_ok, lp = self._dispatch_literals(plan)
+            seq_outs, seq_ok, sp = self._dispatch_sequences(plan)
+            it = iter(self._fetch_tree(_handles(lp) + _handles(sp)))
         self._finish_literals(plan, lp, lit_outs, lit_ok, it)
         self._finish_sequences(plan, sp, seq_outs, seq_ok, it)
         self._retry_sequences(plan, seq_outs, seq_ok)
@@ -812,12 +844,12 @@ class DeviceEngine:
         t3 = time.perf_counter()
 
         stats.bytes_out = len(out)
-        stats.wall_s = {
-            "prepass": t1 - t0,
-            "kernels": t2 - t1,
-            "assembly": t3 - t2,
-            "total": t3 - t0,
-        }
+        stats.wall_s.update(
+            prepass=t1 - t0,
+            kernels=t2 - t1,
+            assembly=t3 - t2,
+            total=t3 - t0,
+        )
         return bytes(out)
 
     def decompress(self, data, **kw) -> bytes:
