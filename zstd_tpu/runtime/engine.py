@@ -105,6 +105,7 @@ class DeviceEngine:
         device=None,
         device_execute: bool = False,
         queue_kernels: bool = False,
+        use_pallas: bool | None = None,
         mesh=None,
     ):
         from .jaxcache import enable_compilation_cache
@@ -120,6 +121,12 @@ class DeviceEngine:
         # cost is nearly lane-count-flat); queues win only when streams
         # >> lanes with tiny per-stream work (see BASELINE.md).
         self.queue_kernels = queue_kernels
+        # Mosaic (Pallas) literals kernel: measured 2.4-3.9x faster per
+        # step than the lax.scan form on v5e (tools/pallas_spike.py,
+        # BASELINE.md "Pallas spike").  None = auto: on for TPU
+        # backends without a mesh (pallas_call under GSPMD needs
+        # shard_map plumbing the mesh path doesn't have yet).
+        self.use_pallas = use_pallas
         # Optional jax.sharding.Mesh with a pow2 device count <= 128:
         # lane arrays are sharded over its "lanes" axis and the same v2
         # kernels run GSPMD — the single-chip and sharded paths share
@@ -203,6 +210,16 @@ class DeviceEngine:
         the mesh's device count."""
         lo = 32 if self.mesh is None else max(32, int(self.mesh.devices.size))
         return _pad_pow2(idx, lo=lo)
+
+    def _pallas_lits(self) -> bool:
+        """Resolve the Pallas-literals choice (see __init__)."""
+        if self.use_pallas is not None:
+            return self.use_pallas and self.mesh is None
+        if self.mesh is not None:
+            return False
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     # -- kernel dispatch ----------------------------------------------------
 
@@ -324,6 +341,7 @@ class DeviceEngine:
         the exchange step to fill.  Returns (outs, ok, pending).
         """
         from ..kernels.entropy2 import LIT_SYMS_PER_STEP, decode_literals_dense
+        from ..kernels.pallas_lit import MAX_W, decode_literals_dense_pl
 
         n = plan.n_lit_lanes
         outs: list[np.ndarray | None] = [None] * n
@@ -338,8 +356,14 @@ class DeviceEngine:
             mask[subset] = True
             ceil_steps = np.where(mask, ceil_steps, 0)
         lane = lambda a: self._put(a, lane=True)  # noqa: E731
+        pallas_ok = self._pallas_lits()
         for idx, steps in _tier_split(ceil_steps, lo=4):
-            sel, n_real = self._pad_lanes(idx)
+            # Per-lane window word count decides the Pallas VMEM fit.
+            W = _next_pow2(int((plan.lit_p0[idx] >> 5).max()) + 1, lo=8)
+            use_pl = pallas_ok and W <= MAX_W
+            sel, n_real = (
+                _pad_pow2(idx, lo=128) if use_pl else self._pad_lanes(idx)
+            )
             regen = np.where(
                 np.arange(len(sel)) < n_real, plan.lit_regen[sel], 0
             ).astype(np.int32)
@@ -347,7 +371,9 @@ class DeviceEngine:
             np.cumsum(-(-regen // 4), out=cum[1:])
             n_dense = _dense_pad(int(cum[-1]))
             dev = self._plan_dev(plan)
-            handles = decode_literals_dense(
+            kernel = decode_literals_dense_pl if use_pl else decode_literals_dense
+            kw = {"W": W} if use_pl else {}
+            handles = kernel(
                 dev["words"],
                 lane(plan.lit_base[sel]),
                 lane(plan.lit_p0[sel]),
@@ -361,6 +387,7 @@ class DeviceEngine:
                 dev["ranked"],
                 max_steps=steps,
                 n_dense=n_dense,
+                **kw,
             )
             self.stats.kernel_calls += 1
             pending.append((idx, cum, handles))
