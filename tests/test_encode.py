@@ -41,7 +41,7 @@ def _cases():
 @pytest.mark.parametrize("name", list(_cases()))
 def test_roundtrip_both_decoders(name):
     data = _cases()[name]
-    for level in (0, 3):
+    for level in (0, 3, 12):
         comp = encode.compress(data, level, checksum=True)
         assert oracle(comp) == data, f"{name} lvl={level} oracle"
         assert libzstd.decompress(comp) == data, f"{name} lvl={level} libzstd"
@@ -61,10 +61,13 @@ def test_compression_actually_compresses():
         ("lowent", 1.5),
         ("binary", 1.5),
         ("rle", 1.5),
-        # The incrementing-counter synthetic: libzstd's parse leaves the
-        # (skewed) leading digits as literals — an optimal-parse artifact
-        # a greedy/lazy matcher does not reproduce (BASELINE.md r2).
-        ("multiblock", 2.5),
+        # The incrementing-counter synthetic (r2's 1.9x gap, closed in
+        # r3 to 1.06x): the adaptive-priced optimal parse converges to
+        # libzstd-1's parse SHAPE (1 literal + 1 rep sequence per
+        # record); the residual ~5% is block-0 table ramp-up.  Note
+        # even libzstd's own btopt (level 19) measures 1.9x libzstd-1
+        # here — weak-parse luck, not parse strength, sets the floor.
+        ("multiblock", 1.15),
     ],
 )
 def test_ratio_vs_libzstd_level1(name, bound):
@@ -75,6 +78,27 @@ def test_ratio_vs_libzstd_level1(name, bound):
     z1 = len(libzstd.compress(data, 1))
     ours = len(encode.compress(data, 3))
     assert ours <= bound * z1, f"{name}: ours {ours} vs libzstd-1 {z1}"
+
+
+@pytest.mark.parametrize(
+    "name,bound",
+    [
+        ("records", 1.0),   # optimal parse + repeat tables beat libzstd-1
+        ("lowent", 1.0),
+        ("text", 1.0),
+        ("binary", 1.0),
+        ("multiblock", 1.1),
+    ],
+)
+def test_optimal_level_ratio_vs_libzstd_level1(name, bound):
+    # Level 12 = adaptive-priced DP parse (zt_lz77_optimal) + cost-based
+    # mode selection (Repeat/treeless) + whole-frame best-of.
+    data = _cases()[name]
+    z1 = len(libzstd.compress(data, 1))
+    comp = encode.compress(data, 12)
+    assert oracle(comp) == data
+    assert libzstd.decompress(comp) == data
+    assert len(comp) <= bound * z1, f"{name}: ours {len(comp)} vs libzstd-1 {z1}"
 
 
 def test_levels_trade_effort_for_ratio():

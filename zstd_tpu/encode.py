@@ -271,18 +271,43 @@ def encode_literals_streams(
 
 
 def normalize_distribution(freqs: np.ndarray, al: int) -> np.ndarray:
-    """Normalize counts to sum 2^al with -1 for rare symbols (RFC §4.1)."""
+    """Normalize counts to sum 2^al with -1 for rare symbols (RFC §4.1).
+
+    Largest-remainder apportionment: floor the scaled counts, then hand
+    the leftover table slots to the symbols with the largest fractional
+    parts (instead of dumping the whole correction on argmax, which
+    skewed every table and cost ~0.1 bit/sequence on locked streams)."""
     total = int(freqs.sum())
     size = 1 << al
     probs = np.zeros(len(freqs), dtype=np.int64)
     scaled = freqs.astype(np.float64) * size / total
-    probs[(freqs > 0) & (scaled < 1.0)] = -1
+    rare = (freqs > 0) & (scaled < 1.0)
+    probs[rare] = -1
     big = scaled >= 1.0
     probs[big] = np.floor(scaled[big]).astype(np.int64)
-    # Fix the sum by adjusting the most frequent symbol.
-    diff = size - int(probs[big].sum()) - int((probs == -1).sum())
+    diff = size - int(probs[big].sum()) - int(rare.sum())
     if big.any():
-        probs[np.argmax(freqs)] += diff
+        if diff > 0:
+            # Distribute surplus slots by largest fractional part.
+            frac = np.where(big, scaled - np.floor(scaled), -1.0)
+            order = np.argsort(-frac)
+            k = 0
+            while diff > 0:
+                s = order[k % len(order)]
+                if big[s]:
+                    probs[s] += 1
+                    diff -= 1
+                k += 1
+        elif diff < 0:
+            # Remove slots from the largest entries (keeping >= 1).
+            while diff < 0:
+                s = int(np.argmax(probs))
+                if probs[s] <= 1:
+                    break
+                probs[s] -= 1
+                diff += 1
+            if diff < 0:
+                probs[np.argmax(freqs)] += diff
     if probs[np.argmax(freqs)] <= 0:
         # Degenerate adjustment; fall back to dumping everything on argmax.
         probs[:] = np.where(freqs > 0, -1, 0)
@@ -429,33 +454,114 @@ def _of_code(values: np.ndarray) -> np.ndarray:
     return np.int64(np.floor(np.log2(values.astype(np.float64)))).astype(np.int64)
 
 
-def choose_mode(codes: np.ndarray, kind: str, nseq: int):
-    """Pick (mode, table) for one field: 'rle' | 'predefined' | 'fse'."""
-    uniq = np.unique(codes)
+class FrameCtx:
+    """Per-frame entropy-table context: mirrors what the DECODER caches
+    across blocks (treeless Huffman reuse, FSE Repeat mode —
+    decoding_context.rs:17-26 is the decoder's side).  Snapshot/restore
+    keeps the encoder's view transactional: a block that falls back to
+    raw must not advertise tables the decoder never installed."""
+
+    def __init__(self) -> None:
+        self.seq: dict = {}  # kind -> ("rle", sym) | ("tab", table, al, dist)
+        self.huff: tuple | None = None  # (codes, lengths, max_bits)
+
+    def snapshot(self) -> tuple:
+        return (dict(self.seq), self.huff)
+
+    def restore(self, snap: tuple) -> None:
+        self.seq, self.huff = dict(snap[0]), snap[1]
+
+
+def _fse_stream_bits(counts: np.ndarray, al: int, dist) -> float:
+    """Expected tANS stream bits for ``counts[c]`` occurrences of each
+    code under a table with slot distribution ``dist`` (|-1| = 1 slot);
+    inf when a needed code has no slots (table incompatible)."""
+    dist = np.asarray(dist, dtype=np.int64)
+    slots = np.where(dist == -1, 1, dist).astype(np.float64)
+    used = np.flatnonzero(counts)
+    if used.size == 0:
+        return 0.0
+    if used.max() >= len(dist) or (slots[used] <= 0).any():
+        return float("inf")
+    return float(np.sum(counts[used] * (al - np.log2(slots[used]))))
+
+
+_PREDEF = {
+    "ll": (fse_ops.LITERALS_LENGTH_DEFAULT_AL, fse_ops.LITERALS_LENGTH_DEFAULT_DIST),
+    "of": (fse_ops.OFFSET_DEFAULT_AL, fse_ops.OFFSET_DEFAULT_DIST),
+    "ml": (fse_ops.MATCH_LENGTH_DEFAULT_AL, fse_ops.MATCH_LENGTH_DEFAULT_DIST),
+}
+_PREDEF_TABLE = {
+    "ll": fse_ops.PREDEFINED_LL_TABLE,
+    "of": fse_ops.PREDEFINED_OF_TABLE,
+    "ml": fse_ops.PREDEFINED_ML_TABLE,
+}
+
+
+def choose_mode(codes: np.ndarray, kind: str, nseq: int, ctx: FrameCtx | None = None):
+    """Pick the cheapest mode for one field by MEASURED cost (stream
+    bits + header bytes): 'rle' | 'predefined' | 'fse' | 'repeat'."""
+    counts = np.bincount(codes)
+    uniq = np.flatnonzero(counts)
+    candidates: list[tuple[float, str, object]] = []
+
     if len(uniq) == 1:
-        return "rle", int(uniq[0])
-    predef = {
-        "ll": (fse_ops.PREDEFINED_LL_TABLE, 35),
-        "of": (fse_ops.PREDEFINED_OF_TABLE, 28),
-        "ml": (fse_ops.PREDEFINED_ML_TABLE, 52),
-    }
-    table, max_predef = predef[kind]
-    if nseq < 64 and codes.max() <= max_predef:
-        return "predefined", table
-    # Custom table.
-    max_code = int(codes.max())
-    freqs = np.bincount(codes, minlength=max_code + 1)
-    al_cap = {"ll": 9, "of": 8, "ml": 9}[kind]
-    al = max(5, min(al_cap, int(nseq).bit_length() - 1))
-    dist = normalize_distribution(freqs, al)
-    fse_table = fse_ops.build_fse_table(al, dist)
-    return "fse", (fse_table, al, dist)
+        candidates.append((8.0, "rle", int(uniq[0])))
+
+    p_al, p_dist = _PREDEF[kind]
+    candidates.append(
+        (_fse_stream_bits(counts, p_al, p_dist), "predefined", _PREDEF_TABLE[kind])
+    )
+
+    if len(uniq) > 1:
+        al_cap = {"ll": 9, "of": 8, "ml": 9}[kind]
+        al = max(5, min(al_cap, int(nseq).bit_length() - 1))
+        dist = normalize_distribution(counts, al)
+        try:
+            fse_table = fse_ops.build_fse_table(al, dist)
+            fb = ForwardBits()
+            serialize_fse_distribution(al, dist, fb)
+            header_bits = 8 * len(fb.to_bytes())
+            cost = header_bits + _fse_stream_bits(counts, al, dist)
+            candidates.append((cost, "fse", (fse_table, al, dist)))
+        except Exception:
+            pass
+
+    if ctx is not None and kind in ctx.seq:
+        prev = ctx.seq[kind]
+        if prev[0] == "rle":
+            if len(uniq) == 1 and int(uniq[0]) == prev[1]:
+                candidates.append((0.0, "repeat", prev))
+        else:
+            _tag, table, al, dist = prev
+            cost = _fse_stream_bits(counts, al, dist)
+            if cost != float("inf"):
+                candidates.append((cost, "repeat", prev))
+
+    candidates.sort(key=lambda c: c[0])
+    return candidates[0][1], candidates[0][2]
+
+
+def _rle_encoder(sym: int) -> FseEncoder:
+    return FseEncoder(
+        fse_ops.FseTable(
+            accuracy_log=0,
+            symbol=np.array([sym], dtype=np.uint16),
+            baseline=np.array([0], dtype=np.uint16),
+            nbits=np.array([0], dtype=np.uint8),
+        )
+    )
 
 
 def encode_sequences_section(
-    ll: np.ndarray, ofv: np.ndarray, ml: np.ndarray
+    ll: np.ndarray, ofv: np.ndarray, ml: np.ndarray, ctx: FrameCtx | None = None
 ) -> bytes:
-    """Serialize the full sequences section of one block."""
+    """Serialize the full sequences section of one block.
+
+    With a :class:`FrameCtx`, table choice is cost-based across all
+    four modes including Repeat (reusing the table the decoder already
+    holds — zero header bytes), and the context is updated to what the
+    decoder will cache after this block."""
     nseq = len(ll)
     out = bytearray()
     if nseq < 128:
@@ -476,9 +582,9 @@ def encode_sequences_section(
     fields = {}
     mode_bits = {}
     for kind, codes in (("ll", ll_codes), ("of", of_codes), ("ml", ml_codes)):
-        mode, payload = choose_mode(codes, kind, nseq)
+        mode, payload = choose_mode(codes, kind, nseq, ctx)
         fields[kind] = (mode, payload, codes)
-        mode_bits[kind] = {"predefined": 0, "rle": 1, "fse": 2}[mode]
+        mode_bits[kind] = {"predefined": 0, "rle": 1, "fse": 2, "repeat": 3}[mode]
 
     out.append(mode_bits["ll"] << 6 | mode_bits["of"] << 4 | mode_bits["ml"] << 2)
 
@@ -488,22 +594,27 @@ def encode_sequences_section(
         mode, payload, codes = fields[kind]
         if mode == "rle":
             out.append(payload)
-            encoders[kind] = FseEncoder(
-                fse_ops.FseTable(
-                    accuracy_log=0,
-                    symbol=np.array([payload], dtype=np.uint16),
-                    baseline=np.array([0], dtype=np.uint16),
-                    nbits=np.array([0], dtype=np.uint8),
-                )
-            )
+            encoders[kind] = _rle_encoder(payload)
+            if ctx is not None:
+                ctx.seq[kind] = ("rle", payload)
         elif mode == "predefined":
             encoders[kind] = FseEncoder(payload)
+            if ctx is not None:
+                p_al, p_dist = _PREDEF[kind]
+                ctx.seq[kind] = ("tab", payload, p_al, p_dist)
+        elif mode == "repeat":
+            if payload[0] == "rle":
+                encoders[kind] = _rle_encoder(payload[1])
+            else:
+                encoders[kind] = FseEncoder(payload[1])
         else:
             fse_table, al, dist = payload
             fb = ForwardBits()
             serialize_fse_distribution(al, dist, fb)
             out += fb.to_bytes()
             encoders[kind] = FseEncoder(fse_table)
+            if ctx is not None:
+                ctx.seq[kind] = ("tab", fse_table, al, dist)
 
     # Extra-bit values.
     of_extra = ofv - (np.int64(1) << of_codes)
@@ -556,8 +667,13 @@ def encode_sequences_section(
 # ----------------------------- literals section ------------------------------
 
 
-def encode_literals_section(literals: np.ndarray) -> bytes:
-    """Serialize the literals section: raw / RLE / Huffman-compressed."""
+def encode_literals_section(
+    literals: np.ndarray, ctx: FrameCtx | None = None
+) -> bytes:
+    """Serialize the literals section: raw / RLE / Huffman-compressed /
+    treeless (reusing the frame's cached Huffman table when the decoder
+    already holds one that covers this block's bytes and measures
+    cheaper than a fresh table + weights header)."""
     n = len(literals)
     if n == 0:
         return bytes([0 << 0 | 0])  # raw, size 0
@@ -566,31 +682,47 @@ def encode_literals_section(literals: np.ndarray) -> bytes:
         return _literals_rle_header(n) + bytes([int(uniq[0])])
 
     freqs = np.bincount(literals, minlength=256)
-    codes, lengths, max_bits = huffman_codes(freqs)
     if len(np.flatnonzero(freqs)) < 2 or n < 64:
         return _literals_raw(literals)
+    codes, lengths, max_bits = huffman_codes(freqs)
     weights_ser = serialize_huffman_weights(lengths, max_bits)
     if weights_ser is None:
         return _literals_raw(literals)
+    cost_new = 8 * len(weights_ser) + int((lengths * freqs).sum())
+
+    treeless = False
+    if ctx is not None and ctx.huff is not None:
+        p_codes, p_lengths, _p_mb = ctx.huff
+        used = freqs > 0
+        if (p_lengths[used] > 0).all():
+            cost_prev = int((p_lengths * freqs).sum())
+            if cost_prev < cost_new:
+                treeless = True
+                codes, lengths = p_codes, p_lengths
+
+    ltype = 3 if treeless else 2
     n_streams = 1 if n < 1024 else 4
     streams = encode_literals_streams(literals, codes, lengths, n_streams)
+    head = b"" if treeless else weights_ser
     if n_streams == 4:
         jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
-        payload = weights_ser + jump + b"".join(streams)
+        payload = head + jump + b"".join(streams)
     else:
-        payload = weights_ser + streams[0]
+        payload = head + streams[0]
     if len(payload) >= n:
         return _literals_raw(literals)
 
     comp_size = len(payload)
     if n_streams == 1:
-        header = _pack_lit_header(2, 0, n, comp_size, 3)
+        header = _pack_lit_header(ltype, 0, n, comp_size, 3)
     elif n <= 0x3FF and comp_size <= 0x3FF:
-        header = _pack_lit_header(2, 1, n, comp_size, 3)
+        header = _pack_lit_header(ltype, 1, n, comp_size, 3)
     elif n <= 0x3FFF and comp_size <= 0x3FFF:
-        header = _pack_lit_header(2, 2, n, comp_size, 4)
+        header = _pack_lit_header(ltype, 2, n, comp_size, 4)
     else:
-        header = _pack_lit_header(2, 3, n, comp_size, 5)
+        header = _pack_lit_header(ltype, 3, n, comp_size, 5)
+    if ctx is not None and not treeless:
+        ctx.huff = (codes, lengths, max_bits)
     return header + payload
 
 
@@ -675,23 +807,55 @@ def compress(
         have_native = native.available() and level > 0
     except Exception:
         have_native = False
-    state = None
     attempts, lazy = _level_params(level)
+
+    if have_native and lazy == "optimal":
+        # Whole-frame best-of: the DP parse usually wins, but on
+        # structured synthetics the weaker lazy parse can land on
+        # lower-entropy streams whose advantage COMPOUNDS through the
+        # frame's entropy context (per-block min was measured worse
+        # than either pure strategy — cross-block coupling).  Encode
+        # the frame both ways and keep the smaller.
+        blocks = min(
+            _compress_frame_blocks(src, n, window_log, have_native, attempts, "optimal"),
+            # The level-3 lazy strategy, verbatim: a deliberately weak
+            # parse — deeper searches LOSE on counter-style synthetics
+            # (attempts=32 lazy measured worse than attempts=8 here).
+            _compress_frame_blocks(src, n, window_log, have_native, 8, True),
+            key=len,
+        )
+    else:
+        blocks = _compress_frame_blocks(src, n, window_log, have_native, attempts, lazy)
+    out += blocks
+
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+def _compress_frame_blocks(
+    src: np.ndarray, n: int, window_log: int, have_native: bool,
+    attempts: int, lazy,
+) -> bytes:
+    """Encode all blocks of one frame with one parse strategy."""
+    state = None
     if have_native:
         from . import native
 
         state = native.new_match_state(chain_log=min(22, max(16, window_log)))
-
+    out = bytearray()
     rep = [1, 4, 8]
+    ctx = FrameCtx()
     nblocks = max(1, -(-n // MAX_BLOCK))
     for bi in range(nblocks):
         start, end = bi * MAX_BLOCK, min(n, (bi + 1) * MAX_BLOCK)
         last = 1 if bi == nblocks - 1 else 0
         block = src[start:end]
         body = None
-        if have_native and level > 0 and end - start >= 64:
+        if have_native and end - start >= 64:
             body = _compress_block(
-                src, start, end, 1 << window_log, state, rep, attempts, lazy
+                src, start, end, 1 << window_log, state, rep, attempts, lazy,
+                ctx,
             )
         if body is not None and len(body) < len(block):
             header = last | (2 << 1) | (len(body) << 3)
@@ -702,14 +866,15 @@ def compress(
         else:
             header = last | (0 << 1) | (len(block) << 3)
             out += header.to_bytes(3, "little") + block.tobytes()
-
-    if checksum:
-        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
 
 
 def _level_params(level: int) -> tuple[int, bool]:
-    """Compression level → (hash-chain attempts, lazy matching)."""
+    """Compression level → (hash-chain attempts, parse mode).
+
+    Mode False = greedy, True = one-step lazy, "optimal" = the
+    price-driven DP parse (native zt_lz77_optimal) — the btopt
+    analog that leaves under-priced matches as literals."""
     if level <= 1:
         return 2, False
     if level <= 2:
@@ -720,36 +885,66 @@ def _level_params(level: int) -> tuple[int, bool]:
         return 16, True
     if level <= 9:
         return 32, True
-    return 64, True
+    return 48, "optimal"
 
 
-def _compress_block(src, start, end, window, state, rep, attempts, lazy) -> bytes | None:
-    """Build one compressed-block body, or None if not worthwhile."""
+def _compress_block(
+    src, start, end, window, state, rep, attempts, lazy, ctx: FrameCtx
+) -> bytes | None:
+    """Build one compressed-block body, or None if not worthwhile.
+
+    ``ctx`` updates (cached Huffman table, FSE tables) commit only when
+    the compressed body is actually used — a raw-block fallback must
+    leave the decoder-visible caches untouched.
+
+    At optimal levels the block is parsed BOTH ways (price-driven DP
+    and one-step lazy) and the smaller encoding wins: on structured
+    synthetics the weaker parse sometimes lands on lower-entropy
+    streams (see BASELINE.md encoder notes), and measuring beats
+    guessing."""
     from . import native
 
-    ll, off, ml, literals = native.lz77_lazy(
-        src, start, end, window, state, rep, attempts, lazy
-    )
+    snap = ctx.snapshot()
+    if lazy == "optimal":
+        ll, off, ml, literals = native.lz77_optimal(
+            src, start, end, window, state, rep, attempts
+        )
+    else:
+        ll, off, ml, literals = native.lz77_lazy(
+            src, start, end, window, state, rep, attempts, lazy
+        )
+    body = _encode_parsed(ll, off, ml, literals, end - start, rep, ctx)
+    if body is None:
+        ctx.restore(snap)
+    return body
+
+
+def _encode_parsed(ll, off, ml, literals, block_len, rep, ctx) -> bytes | None:
+    """Sections from one parse result; None when not worthwhile.
+    Mutates ``rep``/``ctx`` on success; ``rep`` is restored on failure
+    (the caller restores ``ctx``)."""
     rep_snapshot = list(rep)
     if len(ll) == 0:
         try:
-            lit_sec = encode_literals_section(literals)
+            lit_sec = encode_literals_section(literals, ctx)
         except Exception:
             return None
-        if len(lit_sec) + 1 >= (end - start):
+        if len(lit_sec) + 1 >= block_len:
             return None
         return lit_sec + bytes([0])  # 0 sequences
     ofv = offsets_to_values(ll, off, rep)
     try:
-        lit_sec = encode_literals_section(literals)
+        lit_sec = encode_literals_section(literals, ctx)
         seq_sec = encode_sequences_section(
-            ll.astype(np.int64), ofv, ml.astype(np.int64)
+            ll.astype(np.int64), ofv, ml.astype(np.int64), ctx
         )
     except Exception:
         rep[:] = rep_snapshot
         return None
     body = lit_sec + seq_sec
-    if len(body) >= (end - start):
+    if len(body) >= block_len:
         rep[:] = rep_snapshot
         return None
     return body
+
+

@@ -96,6 +96,28 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p,  # lit_out
             ctypes.POINTER(ctypes.c_size_t),  # lit_len io
         ]
+        lib.zt_lz77_optimal.restype = ctypes.c_size_t
+        lib.zt_lz77_optimal.argtypes = [
+            ctypes.c_void_p,  # src
+            ctypes.c_size_t,  # block_start
+            ctypes.c_size_t,  # block_end
+            ctypes.c_size_t,  # window
+            ctypes.c_void_p,  # head
+            ctypes.c_void_p,  # chain
+            ctypes.c_size_t,  # chain_mask
+            ctypes.c_int,  # attempts
+            ctypes.c_void_p,  # reps io int32[3]
+            ctypes.c_void_p,  # lit_price uint32[256]
+            ctypes.c_void_p,  # ll_price uint32[36]
+            ctypes.c_void_p,  # ml_price uint32[53]
+            ctypes.c_void_p,  # of_price uint32[32]
+            ctypes.c_void_p,  # ll_out
+            ctypes.c_void_p,  # off_out
+            ctypes.c_void_p,  # ml_out
+            ctypes.c_size_t,  # max_seqs
+            ctypes.c_void_p,  # lit_out
+            ctypes.POINTER(ctypes.c_size_t),  # lit_len io
+        ]
         lib.zt_resolve_offsets.restype = ctypes.c_int
         lib.zt_resolve_offsets.argtypes = [
             ctypes.c_void_p,  # ll int32*
@@ -249,6 +271,141 @@ def lz77_lazy(
         ctypes.byref(lit_len),
     )
     return ll[:n_seq], off[:n_seq], ml[:n_seq], lit[: lit_len.value]
+
+
+def _entropy_prices(counts: np.ndarray, lo=8, hi=8 * 20) -> np.ndarray:
+    """Counts → 1/8-bit prices: -8*log2(freq/total); unseen = hi."""
+    total = float(counts.sum())
+    prices = np.full(len(counts), hi, dtype=np.float64)
+    seen = counts > 0
+    if total > 0 and seen.any():
+        prices[seen] = -8.0 * np.log2(counts[seen] / total)
+    return np.ascontiguousarray(
+        np.clip(np.round(prices), lo, hi).astype(np.uint32)
+    )
+
+
+def lz77_optimal(
+    src: np.ndarray,
+    block_start: int,
+    block_end: int,
+    window: int,
+    state: MatchState,
+    reps: list[int] | np.ndarray,
+    attempts: int,
+    passes: int = 2,
+):
+    """Price-driven optimal parse over src[block_start:block_end]
+    (zt_lz77_optimal): per-position DP with repeat-history-aware
+    candidate pricing, iterated: pass 1 uses block-histogram literal
+    prices and flat code priors; later passes re-derive every price
+    table from the PREVIOUS pass's emitted literal/code histograms —
+    the adaptive feedback that makes the parse converge on stream
+    structure (skewed literals, locked repeat offsets) instead of raw
+    match length.  Returns (ll, off, ml, literals) like
+    :func:`lz77_lazy`; minmatch 3 for repeats, so up to n/3 + 1
+    sequences."""
+    lib = _load()
+    if lib is None:
+        raise NativeUnavailable("native library not built")
+    n = block_end - block_start
+    block = src[block_start:block_end]
+    # Pass-1 priors: block-histogram literal entropy + flat pessimistic
+    # code estimates.  NOTE: carrying the previous block's CONVERGED
+    # prices forward was tried and measured to hurt badly (multiblock
+    # synthetic 1.10x -> 1.66-2.60x): optimistic near-zero code prices
+    # make swarms of tiny rep matches look free, the code streams
+    # diversify, and the real encoding blows up — a self-consistent but
+    # globally bad fixed point.  Flat priors + per-block repricing is
+    # the stable scheme.
+    lit_price = _entropy_prices(np.bincount(block, minlength=256), hi=8 * 14)
+    ll_price = np.full(36, 8 * 4, dtype=np.uint32)
+    ml_price = np.full(53, 8 * 4, dtype=np.uint32)
+    of_price = np.full(32, 8 * 4, dtype=np.uint32)
+
+    max_seqs = n // 3 + 2
+    ll = np.empty(max_seqs, dtype=np.int32)
+    off = np.empty(max_seqs, dtype=np.int32)
+    ml = np.empty(max_seqs, dtype=np.int32)
+    lit = np.empty(n, dtype=np.uint8)
+    reps_in = np.asarray(reps, dtype=np.int32)[:3]
+    head0, chain0 = state.head.copy(), state.chain.copy()
+
+    from ..ops.sequence_codes import LL_BASELINE, ML_BASELINE
+
+    n_seq = 0
+    lit_len = ctypes.c_size_t(0)
+    for it in range(max(passes, 1)):
+        if it:
+            state.head[:] = head0  # re-parse over identical chains
+            state.chain[:] = chain0
+        reps_arr = np.ascontiguousarray(reps_in.copy())
+        lit_len = ctypes.c_size_t(0)
+        n_seq = lib.zt_lz77_optimal(
+            src.ctypes.data,
+            block_start,
+            block_end,
+            window,
+            state.head.ctypes.data,
+            state.chain.ctypes.data,
+            state.chain_mask,
+            attempts,
+            reps_arr.ctypes.data,
+            lit_price.ctypes.data,
+            ll_price.ctypes.data,
+            ml_price.ctypes.data,
+            of_price.ctypes.data,
+            ll.ctypes.data,
+            off.ctypes.data,
+            ml.ctypes.data,
+            max_seqs,
+            lit.ctypes.data,
+            ctypes.byref(lit_len),
+        )
+        if it == max(passes, 1) - 1 or n_seq == 0:
+            break
+        # Reprice from this pass's emitted stats.
+        lit_price = _entropy_prices(
+            np.bincount(lit[: lit_len.value], minlength=256), hi=8 * 14
+        )
+        lls = ll[:n_seq].astype(np.int64)
+        mls = ml[:n_seq].astype(np.int64)
+        ll_codes = np.searchsorted(LL_BASELINE, lls, side="right") - 1
+        ml_codes = np.searchsorted(ML_BASELINE, mls, side="right") - 1
+        # Offset values need the rep history walk (cheap, in C).
+        rep_sim = reps_in.astype(np.uint64).copy()
+        try:
+            offs = off[:n_seq]
+            ofv = _offsets_to_values_np(lls, offs, rep_sim)
+            of_codes = np.int64(np.floor(np.log2(ofv.astype(np.float64))))
+        except Exception:
+            of_codes = np.zeros(n_seq, dtype=np.int64)
+        ll_price = _entropy_prices(np.bincount(ll_codes, minlength=36)[:36])
+        ml_price = _entropy_prices(np.bincount(ml_codes, minlength=53)[:53])
+        of_price = _entropy_prices(np.bincount(of_codes, minlength=32)[:32])
+    return ll[:n_seq], off[:n_seq], ml[:n_seq], lit[: lit_len.value]
+
+
+def _offsets_to_values_np(lls, offs, rep):
+    """Forward offset→value walk (mirror of encode.offsets_to_values)."""
+    out = np.zeros(len(offs), dtype=np.uint64)
+    r = [int(rep[0]), int(rep[1]), int(rep[2])]
+    for i in range(len(offs)):
+        o, l = int(offs[i]), int(lls[i])
+        if l != 0:
+            v = 1 if o == r[0] else 2 if o == r[1] else 3 if o == r[2] else o + 3
+        else:
+            v = (1 if o == r[1] else 2 if o == r[2]
+                 else 3 if o == r[0] - 1 and o > 0 else o + 3)
+        idx = v - 1 if l != 0 else v
+        if v > 3:
+            r[0], r[1], r[2] = o, r[0], r[1]
+        elif idx == 1:
+            r[0], r[1] = r[1], r[0]
+        elif idx >= 2:
+            r[0], r[1], r[2] = o, r[0], r[1]
+        out[i] = v
+    return out
 
 
 def huffman_decode_stream(
