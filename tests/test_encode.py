@@ -247,3 +247,24 @@ def test_multi_frame_concat_with_reference_corpus(corpus):
     data = corpus["romeo.txt.zst"] + mine
     out = oracle(data)
     assert out.endswith(b"ours " * 500)
+
+
+def test_engine_decodes_repeat_and_treeless_output():
+    # The r3 encoder emits FSE Repeat mode and treeless literals across
+    # blocks; the batched device engine must decode them bit-exactly
+    # (repeat chains become shared table-bank slots, treeless lanes
+    # reuse the cached Huffman table — format/block_table.py).
+    from zstd_tpu.runtime.engine import DeviceEngine
+
+    rng = np.random.default_rng(21)
+    words = [bytes(rng.integers(97, 123, int(n))) for n in rng.integers(2, 12, 256)]
+    data = b" ".join(words[int(i)] for i in rng.integers(0, 256, 120_000))
+    comp = encode.compress(data, 12, checksum=True)
+    # Sanity: multi-block output actually exercises cross-block reuse.
+    from zstd_tpu.format.block_table import build_batch_plan
+
+    plan = build_batch_plan(comp)
+    assert sum(len(f.blocks) for f in plan.frames) >= 3
+    eng = DeviceEngine()
+    assert eng.decompress(comp) == data
+    assert eng.stats.fallback_frames == 0
