@@ -111,21 +111,22 @@ def _fse_value_plane(symbols: np.ndarray, kind: str) -> np.ndarray:
 
 
 def pack_fse_dual(table: fse_ops.FseTable, kind: str) -> tuple[np.ndarray, np.ndarray]:
-    """Pack an FSE table into the v2 dual planes (state-transition, value)."""
-    p0 = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
-    p1 = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
-    p0[: table.size] = (
-        table.baseline.astype(np.int32) << 16 | table.nbits.astype(np.int32)
-    )
-    p1[: table.size] = _fse_value_plane(np.asarray(table.symbol), kind)
-    return p0, p1
+    """Pack an FSE table into the v2 dual planes (state-transition, value).
+
+    Compact form: exactly ``table.size`` (= 2^al) entries per plane —
+    the device bank stores tables back to back (variable-size slots)
+    because a blanket 512-row slot made the bank upload ~3x the real
+    table volume on the bench corpus, and the upload rides the slow
+    relay (BASELINE.md)."""
+    p0 = (table.baseline.astype(np.int32) << 16) | table.nbits.astype(np.int32)
+    p1 = _fse_value_plane(np.asarray(table.symbol), kind)
+    return p0.astype(np.int32), p1
 
 
 def pack_rle_dual(byte: int, kind: str) -> tuple[np.ndarray, np.ndarray]:
     """RLE mode as a single-state FSE table (baseline 0, 0 bits)."""
-    p0 = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
-    p1 = np.zeros(FSE_SLOT_SIZE, dtype=np.int32)
-    p1[0] = _fse_value_plane(np.asarray([byte]), kind)[0]
+    p0 = np.zeros(1, dtype=np.int32)
+    p1 = _fse_value_plane(np.asarray([byte]), kind)
     return p0, p1
 
 
@@ -136,21 +137,44 @@ class _FseBank:
     folds the kind's code→value table into each state entry.  Packing
     validates symbol ranges; out-of-range codes raise and the frame
     falls back to the oracle.
+
+    Storage is a flat variable-size bank: slot ``i`` occupies rows
+    ``off[i] .. off[i] + 2^al_i`` of the concatenated planes, and
+    identical tables (same kind + packed bytes — common across frames
+    of similar data) share one slot.  Kernels gather 512 rows from
+    ``off[slot]`` regardless of table size; rows past a table's end
+    belong to the next table but are never selected because FSE states
+    stay < 2^al by the table tiling invariant.
     """
 
     def __init__(self) -> None:
-        self.p0s: list[np.ndarray] = []  # transition plane
-        self.p1s: list[np.ndarray] = []  # value plane
+        self.p0s: list[np.ndarray] = []  # transition plane chunks
+        self.p1s: list[np.ndarray] = []  # value plane chunks
+        self.offs: list[int] = []  # first row of each slot
         self.als: list[int] = []  # accuracy log per slot
+        self._total = 0
+        self._dedup: dict[tuple, int] = {}
         self._predef: dict[str, int] = {}
         self._rle: dict[tuple[str, int], int] = {}
 
-    def add(self, table: fse_ops.FseTable, kind: str) -> int:
-        p0, p1 = pack_fse_dual(table, kind)  # may raise SymbolCodeTooLarge
+    def _push(self, p0: np.ndarray, p1: np.ndarray, al: int, key: tuple) -> int:
+        slot = self._dedup.get(key)
+        if slot is not None:
+            return slot
         self.p0s.append(p0)
         self.p1s.append(p1)
-        self.als.append(table.accuracy_log)
-        return len(self.p0s) - 1
+        self.offs.append(self._total)
+        self.als.append(al)
+        self._total += len(p0)
+        slot = len(self.offs) - 1
+        self._dedup[key] = slot
+        return slot
+
+    def add(self, table: fse_ops.FseTable, kind: str) -> int:
+        p0, p1 = pack_fse_dual(table, kind)  # may raise SymbolCodeTooLarge
+        return self._push(
+            p0, p1, table.accuracy_log, (kind, p0.tobytes(), p1.tobytes())
+        )
 
     def predefined(self, kind: str) -> int:
         if kind not in self._predef:
@@ -166,17 +190,18 @@ class _FseBank:
         key = (kind, byte)
         if key not in self._rle:
             p0, p1 = pack_rle_dual(byte, kind)  # may raise
-            self.p0s.append(p0)
-            self.p1s.append(p1)
-            self.als.append(0)
-            self._rle[key] = len(self.p0s) - 1
+            self._rle[key] = self._push(p0, p1, 0, ("rle",) + key)
         return self._rle[key]
 
-    def stack(self) -> tuple[np.ndarray, np.ndarray]:
+    def stack(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if not self.p0s:
-            z = np.zeros((1, FSE_SLOT_SIZE), dtype=np.int32)
-            return z, z.copy()
-        return np.stack(self.p0s), np.stack(self.p1s)
+            z = np.zeros(1, dtype=np.int32)
+            return z, z.copy(), np.zeros(1, dtype=np.int32)
+        return (
+            np.concatenate(self.p0s),
+            np.concatenate(self.p1s),
+            np.asarray(self.offs, dtype=np.int32),
+        )
 
 
 class _WordBuffer:
@@ -257,8 +282,9 @@ class BatchPlan:
     seq_ll_al: np.ndarray
     seq_of_al: np.ndarray
     seq_ml_al: np.ndarray
-    fse_p0: np.ndarray  # (n_slots, 512) int32 transition plane
-    fse_p1: np.ndarray  # (n_slots, 512) int32 value plane
+    fse_flat0: np.ndarray  # int32[N] flat transition plane (variable slots)
+    fse_flat1: np.ndarray  # int32[N] flat value plane
+    fse_off: np.ndarray  # int32[n_slots] first row of each slot
     huff_limits: np.ndarray  # (n_tables, 12) int32
     huff_prevs: np.ndarray
     huff_lengths: np.ndarray
@@ -273,12 +299,22 @@ class BatchPlan:
     def n_seq_lanes(self) -> int:
         return len(self.seq_base)
 
+    def fse_rows(self, slots: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Host-gathered (len(slots), 512) plane rows for the wide-retry
+        and queue kernels (the dense kernels gather from the flat bank
+        on-device).  Rows past a table's 2^al end are neighboring-table
+        garbage, never selected (states stay < 2^al)."""
+        idx = self.fse_off[slots][:, None] + np.arange(FSE_SLOT_SIZE)
+        idx = np.minimum(idx, len(self.fse_flat0) - 1)
+        return self.fse_flat0[idx], self.fse_flat1[idx]
+
 
 class _Builder:
     def __init__(self) -> None:
         self.wb = _WordBuffer()
         self.fse = _FseBank()
         self.huff_canon: list[dict[str, np.ndarray]] = []
+        self._huff_dedup: dict[bytes, int] = {}
         self.lit = {k: [] for k in ("base", "p0", "regen", "slot")}
         self.seq = {
             k: []
@@ -305,6 +341,17 @@ class _Builder:
         self.lit["regen"].append(regen)
         self.lit["slot"].append(slot)
         return lane
+
+    def add_huffman(self, table: HuffmanTable) -> int:
+        """Register a canonical-packed Huffman table, deduplicated by
+        weights (identical tables are common across similar frames)."""
+        key = table.weights.tobytes()
+        slot = self._huff_dedup.get(key)
+        if slot is None:
+            self.huff_canon.append(pack_huffman_canonical(table))
+            slot = len(self.huff_canon) - 1
+            self._huff_dedup[key] = slot
+        return slot
 
     def add_seq_lane(self, payload, nseq: int, specs) -> int:
         base, p0 = self.wb.add(payload)
@@ -393,8 +440,7 @@ def build_batch_plan(
                     except ZstdError as e:
                         fp.fallback, fp.fallback_reason = True, f"huffman: {e}"
                         continue
-                    builder.huff_canon.append(pack_huffman_canonical(table))
-                    huff_slot = len(builder.huff_canon) - 1
+                    huff_slot = builder.add_huffman(table)
                 if huff_slot is None:
                     fp.fallback, fp.fallback_reason = True, "treeless w/o table"
                     continue
@@ -435,7 +481,7 @@ def build_batch_plan(
             bp.seq_lane = lane
             cur["ll"], cur["of"], cur["ml"] = specs
 
-    fse_p0, fse_p1 = builder.fse.stack()
+    fse_flat0, fse_flat1, fse_off = builder.fse.stack()
     if builder.huff_canon:
         canon = {
             key: np.stack([c[key] for c in builder.huff_canon])
@@ -466,8 +512,9 @@ def build_batch_plan(
         seq_ll_al=i32(builder.seq["ll_al"]),
         seq_of_al=i32(builder.seq["of_al"]),
         seq_ml_al=i32(builder.seq["ml_al"]),
-        fse_p0=fse_p0,
-        fse_p1=fse_p1,
+        fse_flat0=fse_flat0,
+        fse_flat1=fse_flat1,
+        fse_off=fse_off,
         huff_limits=canon["limits"],
         huff_prevs=canon["prevs"],
         huff_lengths=canon["lengths"],

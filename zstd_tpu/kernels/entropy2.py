@@ -646,8 +646,9 @@ def decode_sequences_dense(
     ll_slot,  # int32[L] FSE table-bank indices per lane
     of_slot,
     ml_slot,
-    bank_p0,  # int32[S, 512] FSE table BANKS (uploaded once per plan)
-    bank_p1,
+    bank_flat0,  # int32[N] flat variable-size FSE table BANK planes,
+    bank_flat1,  # uploaded once per plan (slot i = rows off[i]..off[i]+2^al)
+    bank_off,  # int32[S] first row of each slot
     ll_al,
     of_al,
     ml_al,
@@ -663,14 +664,23 @@ def decode_sequences_dense(
     lane j's triples at cum[j]..cum[j+1]; da = valid << 31 | offset
     value, db = ll << 16 | ml.  The fetch moves 8 B per real sequence
     instead of per padded slot."""
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
+
+    def rows(flat, slot):
+        # Variable-size slots: 512 rows from the slot's offset; rows
+        # past a table's 2^al end are neighboring-table garbage that
+        # the one-hot state select never touches (states < 2^al).
+        idx = jnp.take(bank_off, slot)[:, None] + row_iota
+        return jnp.take(flat, idx, mode="clip")
+
     pa, pb, ok = _sequences_scan(
         words, base, p0, nseq,
-        jnp.take(bank_p0, ll_slot, axis=0),
-        jnp.take(bank_p1, ll_slot, axis=0),
-        jnp.take(bank_p0, of_slot, axis=0),
-        jnp.take(bank_p1, of_slot, axis=0),
-        jnp.take(bank_p0, ml_slot, axis=0),
-        jnp.take(bank_p1, ml_slot, axis=0),
+        rows(bank_flat0, ll_slot),
+        rows(bank_flat1, ll_slot),
+        rows(bank_flat0, of_slot),
+        rows(bank_flat1, of_slot),
+        rows(bank_flat0, ml_slot),
+        rows(bank_flat1, ml_slot),
         ll_al, of_al, ml_al, max_steps, False,
     )
     # One output array per call (da, db, ok) — see decode_literals_dense.

@@ -187,12 +187,25 @@ class DeviceEngine:
                     a = np.pad(a, ((0, rows - a.shape[0]), (0, 0)))
                 return self._put(a, lane=False)
 
+            def flat(a):
+                n = _dense_pad(len(a), lo=64)
+                if n != len(a):
+                    a = np.pad(a, (0, n - len(a)))
+                return self._put(a, lane=False)
+
             self._dev_cache = (
                 plan,
                 {
                     "words": self._put(plan.words, lane=False),
-                    "fse_p0": bank(plan.fse_p0, 8),
-                    "fse_p1": bank(plan.fse_p1, 8),
+                    "fse_flat0": flat(plan.fse_flat0),
+                    "fse_flat1": flat(plan.fse_flat1),
+                    "fse_off": self._put(
+                        np.pad(
+                            plan.fse_off,
+                            (0, _next_pow2(len(plan.fse_off), lo=8) - len(plan.fse_off)),
+                        ),
+                        lane=False,
+                    ),
                     "limits": bank(plan.huff_limits, 4),
                     "prevs": bank(plan.huff_prevs, 4),
                     "lengths": bank(plan.huff_lengths, 4),
@@ -285,23 +298,21 @@ class DeviceEngine:
         nseq = np.where(
             np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
         ).astype(np.int32)
-        ll_s, of_s, ml_s = (
-            plan.seq_ll_slot[sel],
-            plan.seq_of_slot[sel],
-            plan.seq_ml_slot[sel],
-        )
+        ll0, ll1 = plan.fse_rows(plan.seq_ll_slot[sel])
+        of0, of1 = plan.fse_rows(plan.seq_of_slot[sel])
+        ml0, ml1 = plan.fse_rows(plan.seq_ml_slot[sel])
         lane = lambda a: self._put(a, lane=True)  # noqa: E731
         res = decode_sequences_v2(
             self._words_dev(plan),
             lane(plan.seq_base[sel]),
             lane(plan.seq_p0[sel]),
             lane(nseq),
-            lane(plan.fse_p0[ll_s]),
-            lane(plan.fse_p1[ll_s]),
-            lane(plan.fse_p0[of_s]),
-            lane(plan.fse_p1[of_s]),
-            lane(plan.fse_p0[ml_s]),
-            lane(plan.fse_p1[ml_s]),
+            lane(ll0),
+            lane(ll1),
+            lane(of0),
+            lane(of1),
+            lane(ml0),
+            lane(ml1),
             lane(plan.seq_ll_al[sel]),
             lane(plan.seq_of_al[sel]),
             lane(plan.seq_ml_al[sel]),
@@ -432,8 +443,9 @@ class DeviceEngine:
                 lane(plan.seq_ll_slot[sel]),
                 lane(plan.seq_of_slot[sel]),
                 lane(plan.seq_ml_slot[sel]),
-                dev["fse_p0"],
-                dev["fse_p1"],
+                dev["fse_flat0"],
+                dev["fse_flat1"],
+                dev["fse_off"],
                 lane(plan.seq_ll_al[sel]),
                 lane(plan.seq_of_al[sel]),
                 lane(plan.seq_ml_al[sel]),
@@ -603,12 +615,9 @@ class DeviceEngine:
             jnp.asarray(qp.q_p0),
             jnp.asarray(qp.q_count),
             jnp.asarray(qp.qlen),
-            jnp.asarray(plan.fse_p0[ll_s]),
-            jnp.asarray(plan.fse_p1[ll_s]),
-            jnp.asarray(plan.fse_p0[of_s]),
-            jnp.asarray(plan.fse_p1[of_s]),
-            jnp.asarray(plan.fse_p0[ml_s]),
-            jnp.asarray(plan.fse_p1[ml_s]),
+            *map(jnp.asarray, plan.fse_rows(ll_s)),
+            *map(jnp.asarray, plan.fse_rows(of_s)),
+            *map(jnp.asarray, plan.fse_rows(ml_s)),
             jnp.asarray(plan.seq_ll_al[rep]),
             jnp.asarray(plan.seq_of_al[rep]),
             jnp.asarray(plan.seq_ml_al[rep]),
