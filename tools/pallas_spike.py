@@ -47,6 +47,7 @@ def main() -> None:
 
     regen = plan.lit_regen[sel].astype(np.int32)
     p0 = plan.lit_p0[sel].astype(np.int32)
+    pend = plan.lit_pend[sel].astype(np.int32)
     base = plan.lit_base[sel].astype(np.int32)
     slots = plan.lit_slot[sel]
     max_steps = int(-(-regen.max() // LIT_SYMS_PER_STEP))
@@ -58,6 +59,7 @@ def main() -> None:
     pl_args = (
         jnp.asarray(win),
         jnp.asarray(p0[None, :]),
+        jnp.asarray(pend[None, :]),
         jnp.asarray(regen[None, :]),
         # limits pads with a sentinel ABOVE any 11-bit window so the pad
         # rows never count toward the class index.
@@ -71,6 +73,7 @@ def main() -> None:
         jnp.asarray(plan.words),
         jnp.asarray(base),
         jnp.asarray(p0),
+        jnp.asarray(pend),
         jnp.asarray(regen),
         jnp.asarray(plan.huff_limits[slots]),
         jnp.asarray(plan.huff_prevs[slots]),

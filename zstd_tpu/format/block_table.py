@@ -204,32 +204,60 @@ class _FseBank:
         )
 
 
-class _WordBuffer:
-    """Flat uint32 stream buffer with per-stream base offsets.
+def input_words(data: bytes | memoryview) -> np.ndarray:
+    """The raw input as the kernels' little-endian u32 words buffer.
 
-    Each stream is padded to a word boundary plus one zero word so the
-    kernels' two-word windows never read out of bounds.
+    Absolute indexing: entropy streams are NOT repacked — each lane
+    addresses its payload in place via (base_word, p0, pend) from
+    ``_StreamLocator``.  This keeps the prepass copy-free and lets the
+    engine start the words upload before parsing finishes (the relay
+    upload then overlaps the host prepass, BASELINE.md)."""
+    n = len(data)
+    main = n >> 2
+    out = np.zeros(main + 1, dtype="<u4")
+    if main:
+        out[:main] = np.frombuffer(data, dtype="<u4", count=main)
+    rem = n & 3
+    if rem:
+        tail = np.zeros(4, dtype=np.uint8)
+        tail[:rem] = np.frombuffer(data, dtype=np.uint8)[4 * main :]
+        out[main] = tail.view("<u4")[0]
+    return out
+
+
+class _StreamLocator:
+    """Locate entropy-stream payloads inside the raw input buffer.
+
+    Streams are arbitrary byte ranges of the input; a lane addresses
+    one as (base_word, p0, pend) with base = offset >> 2 and bit
+    positions relative to that word, so the backward cursor ends at
+    ``pend = 8 * (offset & 3)`` instead of 0.  Bits below ``pend`` in
+    the base word belong to the PREVIOUS stream: the buffered reader
+    may peek them (Huffman pads are don't-cares — an L-bit code's
+    whole 2^(11-L) suffix span maps to the same symbol) but a valid
+    stream never consumes them, and over-consumption fails the exact
+    ``pos == pend`` end check, routing the lane to the oracle.
     """
 
-    def __init__(self) -> None:
-        self.buf = bytearray()
+    def __init__(self, data: bytes | memoryview) -> None:
+        flat = np.frombuffer(data, dtype=np.uint8)
+        self._addr = flat.__array_interface__["data"][0]
+        self._len = len(flat)
 
-    def add(self, payload: memoryview | bytes) -> tuple[int, int]:
-        """Returns (base_word, sentinel_bitpos) or (-1, -1) if invalid."""
+    def locate(self, payload: memoryview | bytes) -> tuple[int, int, int]:
+        """Returns (base_word, p0, pend) or (-1, -1, -1) if invalid."""
         n = len(payload)
         if n == 0 or payload[-1] == 0:
-            return -1, -1
-        base = len(self.buf) // 4
-        self.buf += payload
-        pad = (-n) % 4
-        self.buf += b"\x00" * (pad + 4)
-        p0 = 8 * (n - 1) + int(payload[-1]).bit_length() - 1
-        return base, p0
-
-    def words(self) -> np.ndarray:
-        if not self.buf:
-            return np.zeros(2, dtype=np.uint32)
-        return np.frombuffer(bytes(self.buf), dtype="<u4").copy()
+            return -1, -1, -1
+        v = np.frombuffer(payload, dtype=np.uint8)
+        off = v.__array_interface__["data"][0] - self._addr
+        if not (0 <= off and off + n <= self._len):
+            # Not a view of the input buffer (defensive; never expected
+            # from the parser) — route the frame to the oracle.
+            return -1, -1, -1
+        shift = 8 * (off & 3)
+        p0 = shift + 8 * (n - 1) + int(payload[-1]).bit_length() - 1
+        return off >> 2, p0, shift
 
 
 @dataclass
@@ -270,11 +298,13 @@ class BatchPlan:
     # Literal-stream lanes:
     lit_base: np.ndarray
     lit_p0: np.ndarray
+    lit_pend: np.ndarray  # end bit position (8 * (byte_offset & 3))
     lit_regen: np.ndarray
     lit_slot: np.ndarray
     # Sequence lanes:
     seq_base: np.ndarray
     seq_p0: np.ndarray
+    seq_pend: np.ndarray
     seq_nseq: np.ndarray
     seq_ll_slot: np.ndarray
     seq_of_slot: np.ndarray
@@ -310,17 +340,18 @@ class BatchPlan:
 
 
 class _Builder:
-    def __init__(self) -> None:
-        self.wb = _WordBuffer()
+    def __init__(self, data) -> None:
+        self.loc = _StreamLocator(data)
         self.fse = _FseBank()
         self.huff_canon: list[dict[str, np.ndarray]] = []
         self._huff_dedup: dict[bytes, int] = {}
-        self.lit = {k: [] for k in ("base", "p0", "regen", "slot")}
+        self.lit = {k: [] for k in ("base", "p0", "pend", "regen", "slot")}
         self.seq = {
             k: []
             for k in (
                 "base",
                 "p0",
+                "pend",
                 "nseq",
                 "ll_slot",
                 "of_slot",
@@ -332,12 +363,13 @@ class _Builder:
         }
 
     def add_lit_lane(self, payload, regen: int, slot: int) -> int:
-        base, p0 = self.wb.add(payload)
+        base, p0, pend = self.loc.locate(payload)
         if base < 0:
             return -1
         lane = len(self.lit["base"])
         self.lit["base"].append(base)
         self.lit["p0"].append(p0)
+        self.lit["pend"].append(pend)
         self.lit["regen"].append(regen)
         self.lit["slot"].append(slot)
         return lane
@@ -354,13 +386,14 @@ class _Builder:
         return slot
 
     def add_seq_lane(self, payload, nseq: int, specs) -> int:
-        base, p0 = self.wb.add(payload)
+        base, p0, pend = self.loc.locate(payload)
         if base < 0:
             return -1
         (ll_slot, ll_al), (of_slot, of_al), (ml_slot, ml_al) = specs
         lane = len(self.seq["base"])
         self.seq["base"].append(base)
         self.seq["p0"].append(p0)
+        self.seq["pend"].append(pend)
         self.seq["nseq"].append(nseq)
         self.seq["ll_slot"].append(ll_slot)
         self.seq["of_slot"].append(of_slot)
@@ -390,10 +423,17 @@ def _resolve_seq_slot(
 
 
 def build_batch_plan(
-    data: bytes | memoryview, *, max_window_size: int = MAX_WINDOW_SIZE
+    data: bytes | memoryview,
+    *,
+    max_window_size: int = MAX_WINDOW_SIZE,
+    words: np.ndarray | None = None,
 ) -> BatchPlan:
-    """Parse ``data`` and lay out every entropy stream as a kernel lane."""
-    builder = _Builder()
+    """Parse ``data`` and lay out every entropy stream as a kernel lane.
+
+    ``words``: a pre-built :func:`input_words` array (the engine builds
+    and uploads it before calling here so the relay transfer overlaps
+    this prepass); built on demand otherwise."""
+    builder = _Builder(data)
     frames: list[FramePlan] = []
 
     for frame in iter_frames(data, max_window_size=max_window_size):
@@ -498,13 +538,15 @@ def build_batch_plan(
     i32 = lambda xs: np.asarray(xs, dtype=np.int32)  # noqa: E731
     return BatchPlan(
         frames=frames,
-        words=builder.wb.words(),
+        words=input_words(data) if words is None else words,
         lit_base=i32(builder.lit["base"]),
         lit_p0=i32(builder.lit["p0"]),
+        lit_pend=i32(builder.lit["pend"]),
         lit_regen=i32(builder.lit["regen"]),
         lit_slot=i32(builder.lit["slot"]),
         seq_base=i32(builder.seq["base"]),
         seq_p0=i32(builder.seq["p0"]),
+        seq_pend=i32(builder.seq["pend"]),
         seq_nseq=i32(builder.seq["nseq"]),
         seq_ll_slot=i32(builder.seq["ll_slot"]),
         seq_of_slot=i32(builder.seq["of_slot"]),

@@ -88,6 +88,7 @@ def _literals_scan(
     words,
     base,
     p0,
+    pend,
     regen,
     limits,
     prevs,
@@ -139,7 +140,10 @@ def _literals_scan(
     (bs, nbits, wi, pos), ys = jax.lax.scan(
         body, (bs, nbits, wi, pos), jnp.arange(max_steps, dtype=jnp.int32)
     )
-    ok = pos == 0
+    # Absolute indexing: streams live in place in the raw input, so a
+    # lane ends at its byte offset's bit position, not 0 (block_table
+    # _StreamLocator).
+    ok = pos == pend
     return ys, ok
 
 
@@ -148,6 +152,7 @@ def decode_literals_v2(
     words,  # uint32[W]
     base,  # int32[L]
     p0,  # int32[L]
+    pend,  # int32[L] end bit position (stream byte misalignment)
     regen,  # int32[L]
     limits,  # int32[L, 12]  class end boundaries in 11-bit window space
     prevs,  # int32[L, 12]  class start boundaries
@@ -163,7 +168,8 @@ def decode_literals_v2(
     symbols 4r..4r+3 LSB-first — and ok bool[L]).
     """
     return _literals_scan(
-        words, base, p0, regen, limits, prevs, lengths, rankb, ranked, max_steps
+        words, base, p0, pend, regen,
+        limits, prevs, lengths, rankb, ranked, max_steps,
     )
 
 
@@ -172,6 +178,7 @@ def decode_literals_dense(
     words,
     base,
     p0,
+    pend,
     regen,
     cum,  # int32[L + 1] word-count prefix sums (ceil(regen / 4))
     slots,  # int32[L] Huffman table index per lane
@@ -191,7 +198,7 @@ def decode_literals_dense(
     bottleneck (BASELINE.md)."""
     row = lambda b: jnp.take(b, slots, axis=0)  # noqa: E731
     ys, ok = _literals_scan(
-        words, base, p0, regen,
+        words, base, p0, pend, regen,
         row(b_limits), row(b_prevs), row(b_lengths), row(b_rankb),
         row(b_ranked), max_steps,
     )
@@ -205,6 +212,7 @@ def decode_literals_q(
     words,  # uint32[W]
     q_base,  # int32[L, Q] per-lane stream queue: base word
     q_p0,  # int32[L, Q] sentinel bit position
+    q_pend,  # int32[L, Q] end bit position
     q_regen,  # int32[L, Q] symbols to produce
     qlen,  # int32[L] queue length
     limits,  # int32[L, 12] (lane's table is FIXED across its queue)
@@ -236,6 +244,7 @@ def decode_literals_q(
     qi0 = jnp.zeros(qlen.shape, jnp.int32)
     base = qsel(q_base, qi0)
     p0 = qsel(q_p0, qi0)
+    pend = qsel(q_pend, qi0)
     regen = qsel(q_regen, qi0)
     bs, nbits, wi, top_bits = buf_init(p0, LIT_BUF_WORDS)
     bs, nbits, wi = buf_insert_top(bs, nbits, wi, top_bits, words, base)
@@ -246,7 +255,7 @@ def decode_literals_q(
     ok = jnp.ones(qlen.shape, bool)
 
     def body(carry, _t):
-        bs, nbits, wi, pos, base, regen, produced, qi, ok = carry
+        bs, nbits, wi, pos, base, pend, regen, produced, qi, ok = carry
         syms = []
         for _g in range(LIT_SYMS_PER_STEP // 2):
             bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
@@ -269,13 +278,14 @@ def decode_literals_q(
         # Stream switch at the step boundary.
         done = produced >= regen
         adv = done & (qi < qlen)
-        ok = ok & (~adv | (pos == 0))
+        ok = ok & (~adv | (pos == pend))
         qi = qi + adv.astype(jnp.int32)
         load = adv & (qi < qlen)
         nbase = qsel(q_base, qi)
         np0 = qsel(q_p0, qi)
         nregen = qsel(q_regen, qi)
         base = jnp.where(load, nbase, base)
+        pend = jnp.where(load, qsel(q_pend, qi), pend)
         regen = jnp.where(load, nregen, regen)
         produced = jnp.where(load, 0, produced)
         pos = jnp.where(load, np0, pos)
@@ -294,10 +304,13 @@ def decode_literals_q(
             | (syms[4 * r + 3] << U32(24))
             for r in range(8)
         ]
-        return (bs, nbits, wi, pos, base, regen, produced, qi, ok), jnp.stack(rows)
+        return (
+            (bs, nbits, wi, pos, base, pend, regen, produced, qi, ok),
+            jnp.stack(rows),
+        )
 
-    carry0 = (bs, nbits, wi, pos, base, regen, produced, qi0, ok)
-    (bs, nbits, wi, pos, base, regen, produced, qi, ok), ys = jax.lax.scan(
+    carry0 = (bs, nbits, wi, pos, base, pend, regen, produced, qi0, ok)
+    (bs, nbits, wi, pos, base, pend, regen, produced, qi, ok), ys = jax.lax.scan(
         body, carry0, jnp.arange(max_steps, dtype=jnp.int32)
     )
     ok = ok & (qi >= qlen)
@@ -309,6 +322,7 @@ def decode_sequences_q(
     words,
     q_base,  # int32[L, Q]
     q_p0,
+    q_pend,
     q_nseq,
     qlen,  # int32[L]
     ll_p0,  # int32[L, 512] — lane's table triple is FIXED across its queue
@@ -347,6 +361,7 @@ def decode_sequences_q(
     qi0 = jnp.zeros(qlen.shape, jnp.int32)
     base = qsel(q_base, qi0)
     p0 = qsel(q_p0, qi0)
+    pend = qsel(q_pend, qi0)
     nseq = qsel(q_nseq, qi0)
     bs, nbits, wi, top_bits = buf_init(p0, SEQ_BUF_WORDS)
     bs, nbits, wi = buf_insert_top(bs, nbits, wi, top_bits, words, base)
@@ -360,7 +375,7 @@ def decode_sequences_q(
     ok = jnp.ones(qlen.shape, bool)
 
     def body(carry, _t):
-        (bs, nbits, wi, pos, base, nseq, emitted, qi, need_init,
+        (bs, nbits, wi, pos, base, pend, nseq, emitted, qi, need_init,
          s_ll, s_of, s_ml, ok) = carry
         out_ll, out_of, out_ml, out_valid = [], [], [], []
         for _slot in range(SEQ_SLOTS_PER_STEP):
@@ -431,13 +446,14 @@ def decode_sequences_q(
         # Stream switch at step boundary.
         done = ~need_init & (emitted >= nseq)
         adv = done & (qi < qlen)
-        ok = ok & (~adv | (pos == 0))
+        ok = ok & (~adv | (pos == pend))
         qi = qi + adv.astype(jnp.int32)
         load = adv & (qi < qlen)
         nbase = qsel(q_base, qi)
         np0 = qsel(q_p0, qi)
         nnseq = qsel(q_nseq, qi)
         base = jnp.where(load, nbase, base)
+        pend = jnp.where(load, qsel(q_pend, qi), pend)
         nseq = jnp.where(load, nnseq, nseq)
         emitted = jnp.where(load, 0, emitted)
         pos = jnp.where(load, np0, pos)
@@ -456,16 +472,16 @@ def decode_sequences_q(
             jnp.stack(out_ml),
             jnp.stack(out_valid),
         )
-        carry = (bs, nbits, wi, pos, base, nseq, emitted, qi, need_init,
+        carry = (bs, nbits, wi, pos, base, pend, nseq, emitted, qi, need_init,
                  s_ll, s_of, s_ml, ok)
         return carry, ys
 
-    carry0 = (bs, nbits, wi, pos, base, nseq, emitted, qi0, need_init,
+    carry0 = (bs, nbits, wi, pos, base, pend, nseq, emitted, qi0, need_init,
               s_ll, s_of, s_ml, ok)
     carry, (ll, ofv, ml, valid) = jax.lax.scan(
         body, carry0, jnp.arange(max_steps, dtype=jnp.int32)
     )
-    qi, ok = carry[7], carry[12]
+    qi, ok = carry[8], carry[13]
     ok = ok & (qi >= qlen)
     return ll, ofv, ml, valid, ok
 
@@ -474,6 +490,7 @@ def _sequences_scan(
     words,
     base,
     p0,
+    pend,
     nseq,
     ll_p0,
     ll_p1,
@@ -590,7 +607,7 @@ def _sequences_scan(
         body, carry0, jnp.arange(max_steps, dtype=jnp.int32)
     )
     pos, emitted, bad = carry[3], carry[7], carry[8]
-    ok = (emitted == nseq) & (pos == 0) & ~bad
+    ok = (emitted == nseq) & (pos == pend) & ~bad
     return (*planes, ok)
 
 
@@ -599,6 +616,7 @@ def decode_sequences_v2(
     words,  # uint32[W]
     base,  # int32[L]
     p0,  # int32[L]
+    pend,  # int32[L] end bit position (stream byte misalignment)
     nseq,  # int32[L]
     ll_p0,  # int32[L, 512]  baseline << 16 | nbits
     ll_p1,  # int32[L, 512]  value_base << 5 | value_extra_bits
@@ -631,7 +649,7 @@ def decode_sequences_v2(
       corrupt for any window <= 8 MiB and stay flagged).
     """
     return _sequences_scan(
-        words, base, p0, nseq, ll_p0, ll_p1, of_p0, of_p1, ml_p0, ml_p1,
+        words, base, p0, pend, nseq, ll_p0, ll_p1, of_p0, of_p1, ml_p0, ml_p1,
         ll_al, of_al, ml_al, max_steps, wide,
     )
 
@@ -641,6 +659,7 @@ def decode_sequences_dense(
     words,
     base,
     p0,
+    pend,
     nseq,
     cum,  # int32[L + 1] sequence-count prefix sums
     ll_slot,  # int32[L] FSE table-bank indices per lane
@@ -674,7 +693,7 @@ def decode_sequences_dense(
         return jnp.take(flat, idx, mode="clip")
 
     pa, pb, ok = _sequences_scan(
-        words, base, p0, nseq,
+        words, base, p0, pend, nseq,
         rows(bank_flat0, ll_slot),
         rows(bank_flat1, ll_slot),
         rows(bank_flat0, of_slot),

@@ -63,6 +63,7 @@ def _place(v, sh):
 def _kernel(
     words_ref,  # uint32[W, 128]  per-lane stream windows, lane-last
     p0_ref,  # int32[1, 128]
+    pend_ref,  # int32[1, 128]  end bit position (byte misalignment)
     regen_ref,  # int32[1, 128]
     limits_ref,  # int32[16, 128] (12 classes, padded to 16 sublanes)
     prevs_ref,
@@ -76,6 +77,7 @@ def _kernel(
     W: int,
 ):
     p0 = p0_ref[:]
+    pend = pend_ref[:]
     regen = regen_ref[:]
     limits = limits_ref[:]
     prevs = prevs_ref[:]
@@ -171,13 +173,14 @@ def _kernel(
         return bs, nbits, wi, pos
 
     bs, nbits, wi, pos = jax.lax.fori_loop(0, max_steps, body, (bs, nbits, wi, pos))
-    ok_ref[:] = (pos == 0).astype(jnp.int32)
+    ok_ref[:] = (pos == pend).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("max_steps", "interpret"))
 def decode_literals_pallas(
     words_lanes,  # uint32[W, 128] lane-last per-lane stream windows
     p0,  # int32[1, 128]
+    pend,  # int32[1, 128]
     regen,  # int32[1, 128]
     limits,  # int32[16, 128]
     prevs,
@@ -200,10 +203,10 @@ def decode_literals_pallas(
             jax.ShapeDtypeStruct((max_steps * 8, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((1, LANES), jnp.int32),
         ),
-        in_specs=[vspec] * 8,
+        in_specs=[vspec] * 9,
         out_specs=(vspec, vspec),
         interpret=interpret,
-    )(words_lanes, p0, regen, limits, prevs, lengths, rankb, ranked)
+    )(words_lanes, p0, pend, regen, limits, prevs, lengths, rankb, ranked)
 
 
 MAX_W = 8192  # (W, 128) u32 window = 4 MB VMEM at this cap
@@ -214,6 +217,7 @@ def decode_literals_dense_pl(
     words,  # uint32[Wtot] flat stream buffer (plan-resident)
     base,  # int32[L]   L a multiple of 128
     p0,  # int32[L]
+    pend,  # int32[L]  end bit position (byte misalignment)
     regen,  # int32[L]
     cum,  # int32[L + 1] word-count prefix sums (ceil(regen / 4))
     slots,  # int32[L] Huffman table-bank indices
@@ -271,6 +275,7 @@ def decode_literals_dense_pl(
             vspec(W),
             vspec(1),
             vspec(1),
+            vspec(1),
             vspec(16),
             vspec(16),
             vspec(16),
@@ -278,7 +283,10 @@ def decode_literals_dense_pl(
             vspec(256),
         ],
         out_specs=(vspec(max_steps * 8), vspec(1)),
-    )(win, p0[None, :], regen[None, :], limits, prevs, lengths, rankb, ranked)
+    )(
+        win, p0[None, :], pend[None, :], regen[None, :],
+        limits, prevs, lengths, rankb, ranked,
+    )
     dense = _compact(ys.reshape(max_steps, 8, L), cum, n_dense)
     return jnp.concatenate([dense, (ok[0] != 0).astype(U32)])
 

@@ -181,6 +181,10 @@ class DeviceEngine:
         per call used to cost ~4-5 MB of relay upload per decompress.
         Bank row counts pad to pow2 to bound the jit shape family."""
         if getattr(self, "_dev_cache", None) is None or self._dev_cache[0] is not plan:
+            words_dev = getattr(self, "_early_words", None)
+            if words_dev is None:
+                words_dev = self._put(plan.words, lane=False)
+            self._early_words = None
             def bank(a, lo):
                 rows = _next_pow2(a.shape[0], lo=lo)
                 if rows != a.shape[0]:
@@ -196,7 +200,7 @@ class DeviceEngine:
             self._dev_cache = (
                 plan,
                 {
-                    "words": self._put(plan.words, lane=False),
+                    "words": words_dev,
                     "fse_flat0": flat(plan.fse_flat0),
                     "fse_flat1": flat(plan.fse_flat1),
                     "fse_off": self._put(
@@ -306,6 +310,7 @@ class DeviceEngine:
             self._words_dev(plan),
             lane(plan.seq_base[sel]),
             lane(plan.seq_p0[sel]),
+            lane(plan.seq_pend[sel]),
             lane(nseq),
             lane(ll0),
             lane(ll1),
@@ -388,6 +393,7 @@ class DeviceEngine:
                 dev["words"],
                 lane(plan.lit_base[sel]),
                 lane(plan.lit_p0[sel]),
+                lane(plan.lit_pend[sel]),
                 lane(regen),
                 self._put(cum, lane=False),
                 lane(plan.lit_slot[sel]),
@@ -438,6 +444,7 @@ class DeviceEngine:
                 dev["words"],
                 lane(plan.seq_base[sel]),
                 lane(plan.seq_p0[sel]),
+                lane(plan.seq_pend[sel]),
                 lane(nseq),
                 self._put(cum, lane=False),
                 lane(plan.seq_ll_slot[sel]),
@@ -554,6 +561,7 @@ class DeviceEngine:
             jnp.asarray(plan.words),
             jnp.asarray(qp.q_base),
             jnp.asarray(qp.q_p0),
+            jnp.asarray(qp.q_pend),
             jnp.asarray(qp.q_count),
             jnp.asarray(qp.qlen),
             jnp.asarray(plan.huff_limits[slots]),
@@ -613,6 +621,7 @@ class DeviceEngine:
             jnp.asarray(plan.words),
             jnp.asarray(qp.q_base),
             jnp.asarray(qp.q_p0),
+            jnp.asarray(qp.q_pend),
             jnp.asarray(qp.q_count),
             jnp.asarray(qp.qlen),
             *map(jnp.asarray, plan.fse_rows(ll_s)),
@@ -816,11 +825,20 @@ class DeviceEngine:
     ) -> bytes:
         import time
 
+        from ..format.block_table import input_words
+
         stats = self.stats = EngineStats()
         stats.bytes_in = len(data)
 
         t0 = time.perf_counter()
-        plan = build_batch_plan(data, max_window_size=self.max_window_size)
+        # Absolute indexing makes the raw input the kernels' words
+        # buffer, so its (async) relay upload starts here and overlaps
+        # the whole host prepass below.
+        words = input_words(data)
+        self._early_words = self._put(words, lane=False)
+        plan = build_batch_plan(
+            data, max_window_size=self.max_window_size, words=words
+        )
         t1 = time.perf_counter()
         try:
             (lit_outs, lit_ok), (seq_outs, seq_ok) = self._run_both(plan)

@@ -41,6 +41,7 @@ class QueuePlan:
 
     q_base: np.ndarray  # (L, Q) int32
     q_p0: np.ndarray
+    q_pend: np.ndarray  # end bit position per stream
     q_count: np.ndarray  # regen or nseq
     qlen: np.ndarray  # (L,) int32
     lane_rep: np.ndarray  # (L,) int32 — a representative stream id per lane
@@ -105,6 +106,7 @@ def pack_queues(
     Q = _next_pow2(max(1, max(len(b) for b in lanes)))
     q_base = np.zeros((L, Q), dtype=np.int32)
     q_p0 = np.zeros((L, Q), dtype=np.int32)
+    q_pend = np.zeros((L, Q), dtype=np.int32)
     q_count = np.zeros((L, Q), dtype=np.int32)
     qlen = np.zeros(L, dtype=np.int32)
     placement: dict[int, tuple[int, int]] = {}
@@ -120,6 +122,7 @@ def pack_queues(
     return QueuePlan(
         q_base=q_base,
         q_p0=q_p0,
+        q_pend=q_pend,
         q_count=q_count,
         qlen=qlen,
         lane_rep=np.asarray(lane_rep, dtype=np.int32),
@@ -150,6 +153,7 @@ def pack_literal_queues(plan, target_lanes: int = 512) -> QueuePlan | None:
     for s, (lane, k) in qp.placement.items():
         qp.q_base[lane, k] = plan.lit_base[s]
         qp.q_p0[lane, k] = plan.lit_p0[s]
+        qp.q_pend[lane, k] = plan.lit_pend[s]
     return qp
 
 
@@ -182,4 +186,5 @@ def pack_seq_queues(plan, target_lanes: int = 256) -> QueuePlan | None:
     for s, (lane, k) in qp.placement.items():
         qp.q_base[lane, k] = plan.seq_base[s]
         qp.q_p0[lane, k] = plan.seq_p0[s]
+        qp.q_pend[lane, k] = plan.seq_pend[s]
     return qp
