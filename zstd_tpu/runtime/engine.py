@@ -413,8 +413,12 @@ class DeviceEngine:
     def _dispatch_sequences(self, plan: BatchPlan, subset=None):
         """Dispatch the dense sequences kernel; step counts are exact
         (never-stall invariant, kernels/entropy2.py) and the fetch is
-        8 B per real sequence.  Returns (outs, ok, pending)."""
+        8 B per real sequence.  The Mosaic form (kernels/pallas_seq.py,
+        2.8x faster per step) runs when the per-lane window fits VMEM;
+        oversized tiers fall back to the lax.scan form.  Returns
+        (outs, ok, pending)."""
         from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP, decode_sequences_dense
+        from ..kernels.pallas_seq import MAX_W, decode_sequences_dense_pl
 
         n = plan.n_seq_lanes
         outs: list[tuple | None] = [None] * n
@@ -429,9 +433,23 @@ class DeviceEngine:
             mask[subset] = True
             need_steps = np.where(mask, need_steps, 0)
         lane = lambda a: self._put(a, lane=True)  # noqa: E731
+        pallas_ok = self._pallas_lits()
         # Dense outputs decouple fetch size from step counts, so tiering
         # only bounds wasted *compute* (~us/step) — two calls suffice.
         for idx, steps in _tier_split(need_steps, lo=2, max_calls=2):
+            W = _next_pow2(int((plan.seq_p0[idx] >> 5).max()) + 1, lo=64)
+            if pallas_ok and W <= MAX_W:
+                # One 128-lane pallas_call per chunk: a single-lane-block
+                # grid keeps the (W/64, 64, 128) window SINGLE-buffered
+                # (a >1 lane grid double-buffers it for pipelining —
+                # measured VMEM OOM at W = 16384).  Lanes sort by window
+                # size so small-stream chunks compile small W shapes.
+                order = idx[np.argsort(plan.seq_p0[idx] >> 5, kind="stable")]
+                for c in range(0, len(order), 128):
+                    self._dispatch_seq_pallas(
+                        plan, order[c : c + 128], steps, pending
+                    )
+                continue
             sel, n_real = self._pad_lanes(idx)
             nseq = np.where(
                 np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
@@ -462,6 +480,55 @@ class DeviceEngine:
             self.stats.kernel_calls += 1
             pending.append((idx, cum, handles))
         return outs, ok, pending
+
+    def _dispatch_seq_pallas(self, plan, idx, steps, pending) -> None:
+        """One 128-lane Mosaic sequence call (see _dispatch_sequences)."""
+        from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP
+        from ..kernels.pallas_seq import decode_sequences_dense_pl
+
+        sel, n_real = _pad_pow2(idx, lo=128)
+        # The chunk's own step/window need, not the tier's: chunks are
+        # sorted by window size and steps are a per-call static.
+        steps = min(
+            steps,
+            _next_pow2(
+                int(-(-plan.seq_nseq[idx].max() // SEQ_SLOTS_PER_STEP)), lo=2
+            ),
+        )
+        W = _next_pow2(int((plan.seq_p0[idx] >> 5).max()) + 1, lo=64)
+        nseq = np.where(
+            np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
+        ).astype(np.int32)
+        cum = np.zeros(len(sel) + 1, dtype=np.int32)
+        np.cumsum(nseq, out=cum[1:])
+        n_dense = _dense_pad(int(cum[-1]))
+        dev = self._plan_dev(plan)
+        lane = lambda a: self._put(a, lane=True)  # noqa: E731
+        handles = decode_sequences_dense_pl(
+            dev["words"],
+            lane(plan.seq_base[sel]),
+            lane(plan.seq_p0[sel]),
+            lane(plan.seq_pend[sel]),
+            lane(nseq),
+            self._put(cum, lane=False),
+            lane(plan.seq_ll_slot[sel]),
+            lane(plan.seq_of_slot[sel]),
+            lane(plan.seq_ml_slot[sel]),
+            dev["fse_flat0"],
+            dev["fse_flat1"],
+            dev["fse_off"],
+            lane(plan.seq_ll_al[sel]),
+            lane(plan.seq_of_al[sel]),
+            lane(plan.seq_ml_al[sel]),
+            max_steps=steps,
+            n_dense=n_dense,
+            W=W,
+            R_ll=_next_pow2(1 << int(plan.seq_ll_al[sel].max()), lo=8),
+            R_of=_next_pow2(1 << int(plan.seq_of_al[sel].max()), lo=8),
+            R_ml=_next_pow2(1 << int(plan.seq_ml_al[sel].max()), lo=8),
+        )
+        self.stats.kernel_calls += 1
+        pending.append((idx, cum, handles))
 
     def _finish_literals(self, plan, pending, outs, ok, fetched) -> None:
         # Each pending call fetched ONE packed uint32 array:
