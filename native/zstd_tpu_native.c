@@ -781,3 +781,179 @@ EXPORT size_t zt_lz77_optimal(
     free(opt);
     return n_seq;
 }
+
+/* ---- FSE table parse + build (host prepass, RFC 8878 section 4.1.1) ----
+ *
+ * C form of zstd_tpu/ops/fse.py:parse_fse_distribution/build_fse_table
+ * and ops/huffman.py:decode_fse_weights.  Returns -1 on any corruption;
+ * the Python caller then re-runs its own path to raise the precise
+ * typed error, so the taxonomy is unchanged.
+ */
+
+typedef struct {
+    const uint8_t *p;
+    size_t len;   /* bytes */
+    size_t pos;   /* bits consumed (LSB-first within each byte) */
+} zt_fbits;
+
+static inline uint64_t zt_fb_peek(const zt_fbits *b, int n) {
+    /* n <= 24; zero-padded past the end */
+    uint64_t v = 0;
+    size_t byte = b->pos >> 3;
+    int sh = (int)(b->pos & 7);
+    for (int i = 0; i < 5; i++) {
+        if (byte + i < b->len) v |= (uint64_t)b->p[byte + i] << (8 * i);
+    }
+    return (v >> sh) & ((1ull << n) - 1);
+}
+
+static inline int zt_floor_log2_u32(uint32_t v) {
+    return 31 - __builtin_clz(v);
+}
+
+/* Parse an FSE table description and build the decode table.
+ * out_symbol/out_baseline: uint16[512]; out_nbits: uint8[512].
+ * Returns accuracy_log >= 0, or -1 on corruption.  *out_bits gets the
+ * bits consumed by the header. */
+int zt_fse_parse_build(const uint8_t *data, size_t len, int max_al,
+                       uint16_t *out_symbol, uint16_t *out_baseline,
+                       uint8_t *out_nbits, size_t *out_bits) {
+    zt_fbits b = {data, len, 0};
+    size_t ext = 4; /* peek extent: Python's cursor raises when a PEEK
+                       crosses the end, even if fewer bits are consumed */
+    int al = (int)zt_fb_peek(&b, 4) + 5;
+    b.pos += 4;
+    if (al > max_al) return -1;
+    int size = 1 << al;
+
+    int16_t dist[256];
+    int n_dist = 0;
+    int remaining = size;
+    while (remaining > 0 && n_dist < 256) {
+        int bits = zt_floor_log2_u32((uint32_t)remaining + 1) + 1;
+        if (b.pos + bits > ext) ext = b.pos + bits;
+        uint32_t peeked = (uint32_t)zt_fb_peek(&b, bits);
+        uint32_t lower_mask = (1u << (bits - 1)) - 1;
+        uint32_t threshold = (1u << bits) - 1 - ((uint32_t)remaining + 1);
+        int value;
+        if ((peeked & lower_mask) < threshold) {
+            value = (int)(peeked & lower_mask);
+            b.pos += bits - 1;
+        } else {
+            value = (int)peeked;
+            b.pos += bits;
+            if ((uint32_t)value > lower_mask) value -= (int)threshold;
+        }
+        int proba = value - 1;
+        remaining -= proba < 0 ? -proba : proba;
+        dist[n_dist++] = (int16_t)proba;
+        if (proba == 0) {
+            for (;;) {
+                if (b.pos + 2 > ext) ext = b.pos + 2;
+                int zeros = (int)zt_fb_peek(&b, 2);
+                b.pos += 2;
+                if (n_dist + zeros > 256) return -1;
+                for (int i = 0; i < zeros; i++) dist[n_dist++] = 0;
+                if (zeros != 3) break;
+            }
+        }
+    }
+    if (remaining != 0 || n_dist >= 256) return -1;
+    if (ext > 8 * len) return -1;
+    *out_bits = b.pos;
+
+    /* ---- build (counter formulation) ---- */
+    int pos_total = 0, n_m1 = 0;
+    for (int s = 0; s < n_dist; s++) {
+        if (dist[s] > 0) pos_total += dist[s];
+        else if (dist[s] == -1) n_m1++;
+        else if (dist[s] < -1) return -1;
+    }
+    if (pos_total + n_m1 != size) return -1;
+    int high_threshold = size - n_m1;
+
+    /* less-than-one symbols at the tail, increasing symbol order from
+     * the last index downward */
+    {
+        int idx = size - 1;
+        for (int s = 0; s < n_dist; s++)
+            if (dist[s] == -1) out_symbol[idx--] = (uint16_t)s;
+    }
+    /* spread positive-prob symbols, skipping the reserved tail */
+    {
+        int step = (size >> 1) + (size >> 3) + 3, mask = size - 1, pos = 0;
+        for (int s = 0; s < n_dist; s++) {
+            for (int k = 0; k < dist[s]; k++) {
+                out_symbol[pos] = (uint16_t)s;
+                do { pos = (pos + step) & mask; } while (pos >= high_threshold);
+            }
+        }
+        if (pos != 0) return -1;
+    }
+    /* counters -> baseline/nbits (Python ops/fse.py:149-162) */
+    {
+        uint32_t counter[256];
+        for (int s = 0; s < n_dist; s++)
+            counter[s] = dist[s] > 0 ? (uint32_t)dist[s] : 1u;
+        for (int st = 0; st < size; st++) {
+            uint32_t c = counter[out_symbol[st]]++;
+            int nb = al - zt_floor_log2_u32(c);
+            out_baseline[st] = (uint16_t)(((uint32_t)c << nb) - (uint32_t)size);
+            out_nbits[st] = (uint8_t)nb;
+        }
+    }
+    return al;
+}
+
+/* Backward bit reader (sentinel-stripped): pos counts bits remaining. */
+typedef struct {
+    const uint8_t *p;
+    long pos; /* bit index just above the next bit to read */
+} zt_bbits;
+
+static inline uint32_t zt_bb_take(zt_bbits *b, int n) {
+    /* reads the n bits below pos (MSB-first order), zero-padded below 0 */
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+        long bit = b->pos - 1 - i;
+        uint32_t x = 0;
+        if (bit >= 0) x = (b->p[bit >> 3] >> (bit & 7)) & 1;
+        v = (v << 1) | x;
+    }
+    b->pos -= n;
+    return v;
+}
+
+/* Decode FSE-compressed Huffman weights (2 interleaved tANS states).
+ * Returns the number of weights written to out_w (<= 255), or -1. */
+int zt_fse_weights(const uint8_t *payload, size_t len, uint8_t *out_w) {
+    uint16_t symbol[512], baseline[512];
+    uint8_t nbits[512];
+    size_t hdr_bits = 0;
+    int al = zt_fse_parse_build(payload, len, 9, symbol, baseline, nbits,
+                                &hdr_bits);
+    if (al < 0) return -1;
+    size_t hdr_bytes = (hdr_bits + 7) >> 3;
+    if (hdr_bytes >= len) return -1;
+    const uint8_t *bs = payload + hdr_bytes;
+    size_t bn = len - hdr_bytes;
+    if (bs[bn - 1] == 0) return -1; /* missing sentinel */
+    long pos = 8 * (long)(bn - 1) + zt_floor_log2_u32(bs[bn - 1]);
+    zt_bbits b = {bs, pos};
+
+    if (b.pos < 2 * al) return -1;
+    uint32_t states[2];
+    states[0] = zt_bb_take(&b, al);
+    states[1] = zt_bb_take(&b, al);
+    int n = 0, turn = 0;
+    while ((long)nbits[states[turn]] <= b.pos) {
+        if (n >= 253) return -1;
+        uint32_t s = states[turn];
+        out_w[n++] = (uint8_t)symbol[s];
+        states[turn] = baseline[s] + zt_bb_take(&b, nbits[s]);
+        turn ^= 1;
+    }
+    out_w[n++] = (uint8_t)symbol[states[turn]];
+    out_w[n++] = (uint8_t)symbol[states[turn ^ 1]];
+    return n;
+}

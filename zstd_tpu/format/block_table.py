@@ -152,6 +152,7 @@ class _FseBank:
         self.p1s: list[np.ndarray] = []  # value plane chunks
         self.offs: list[int] = []  # first row of each slot
         self.als: list[int] = []  # accuracy log per slot
+        self.wbits: list[int] = []  # bits bounding any decoded value
         self._total = 0
         self._dedup: dict[tuple, int] = {}
         self._predef: dict[str, int] = {}
@@ -161,10 +162,18 @@ class _FseBank:
         slot = self._dedup.get(key)
         if slot is not None:
             return slot
+        kind = key[1] if key[0] == "rle" else key[0]
+        if kind == "of":
+            # value = (1 << code) + extra < 2^(code + 1)
+            w = int(p1.max()) + 1
+        else:
+            # value = value_base + take(extra_bits)
+            w = int(((p1 >> 5) + (1 << (p1 & 31)) - 1).max()).bit_length()
         self.p0s.append(p0)
         self.p1s.append(p1)
         self.offs.append(self._total)
         self.als.append(al)
+        self.wbits.append(max(w, 1))
         self._total += len(p0)
         slot = len(self.offs) - 1
         self._dedup[key] = slot
@@ -193,14 +202,15 @@ class _FseBank:
             self._rle[key] = self._push(p0, p1, 0, ("rle",) + key)
         return self._rle[key]
 
-    def stack(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def stack(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         if not self.p0s:
             z = np.zeros(1, dtype=np.int32)
-            return z, z.copy(), np.zeros(1, dtype=np.int32)
+            return z, z.copy(), np.zeros(1, dtype=np.int32), np.ones(1, np.int32)
         return (
             np.concatenate(self.p0s),
             np.concatenate(self.p1s),
             np.asarray(self.offs, dtype=np.int32),
+            np.asarray(self.wbits, dtype=np.int32),
         )
 
 
@@ -315,6 +325,7 @@ class BatchPlan:
     fse_flat0: np.ndarray  # int32[N] flat transition plane (variable slots)
     fse_flat1: np.ndarray  # int32[N] flat value plane
     fse_off: np.ndarray  # int32[n_slots] first row of each slot
+    fse_wbits: np.ndarray  # int32[n_slots] bits bounding any decoded value
     huff_limits: np.ndarray  # (n_tables, 12) int32
     huff_prevs: np.ndarray
     huff_lengths: np.ndarray
@@ -521,7 +532,7 @@ def build_batch_plan(
             bp.seq_lane = lane
             cur["ll"], cur["of"], cur["ml"] = specs
 
-    fse_flat0, fse_flat1, fse_off = builder.fse.stack()
+    fse_flat0, fse_flat1, fse_off, fse_wbits = builder.fse.stack()
     if builder.huff_canon:
         canon = {
             key: np.stack([c[key] for c in builder.huff_canon])
@@ -557,6 +568,7 @@ def build_batch_plan(
         fse_flat0=fse_flat0,
         fse_flat1=fse_flat1,
         fse_off=fse_off,
+        fse_wbits=fse_wbits,
         huff_limits=canon["limits"],
         huff_prevs=canon["prevs"],
         huff_lengths=canon["lengths"],

@@ -84,6 +84,87 @@ def _compact(plane, cum, n_dense: int):
     return jnp.take(plane.reshape(-1), idx, mode="clip")
 
 
+def _shl32(v, n):
+    """v << n for per-lane n >= 0; 0 when n >= 32 (v uint32)."""
+    n = n.astype(U32)
+    return jnp.where(n >= 32, U32(0), v << (n & U32(31)))
+
+
+def _shr32(v, n):
+    n = n.astype(U32)
+    return jnp.where(n >= 32, U32(0), v >> (n & U32(31)))
+
+
+def _pack_triples(pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w: int, J: int):
+    """Bit-pack sequence triples into per-lane LSB-first bitstreams and
+    compact them into ONE dense u32 array.
+
+    Each lane's stream packs ``v = ll | ml << w_ll | ofv << (w_ll+w_ml)``
+    per sequence at a per-lane static width ``w = w_ll + w_ml + w_of``
+    (TABLE-BOUNDED: block_table._FseBank.wbits caps any value its table
+    can decode, ~31 bits/seq on the bench corpus vs the 64-bit da‖db
+    form — and the relay fetch is the end-to-end bottleneck).  A value
+    exceeding its width (possible only on corrupt input, e.g. an offset
+    past the window) flags the lane so it re-decodes on the wide path —
+    packing never silently truncates.
+
+    pa, pb: (steps, slots, L) narrow planes (see decode_sequences_v2).
+    cumw: int32[L+1] prefix sums of per-lane word counts
+    ceil(nseq*w/32).  J: static contributor bound per output word,
+    1 + ceil(32 / min-lane-width).  Returns (packed uint32[n_dense_w],
+    lane_overflow bool[L]).
+    """
+    R = pa.shape[0] * pa.shape[1]
+    L = pa.shape[2]
+    pa = pa.reshape(R, L)
+    pb = pb.reshape(R, L)
+    valid = pa >> U32(31)
+    ofv = jnp.where(valid != 0, pa & U32(0x7FFFFFFF), U32(0))
+    ll = pb >> U32(16)
+    ml = pb & U32(0xFFFF)
+
+    wl = w_ll.astype(U32)[None, :]
+    s_ml = wl
+    s_of = wl + w_ml.astype(U32)[None, :]
+    lo = ll | _shl32(ml, s_ml) | _shl32(ofv, s_of)
+    hi = _shr32(ml, U32(32) - s_ml) | jnp.where(
+        s_of >= 32, _shl32(ofv, s_of - U32(32)), _shr32(ofv, U32(32) - s_of)
+    )
+    over = (
+        (_shr32(ll, wl) != 0)
+        | (_shr32(ml, w_ml.astype(U32)[None, :]) != 0)
+        | (_shr32(ofv, w_of.astype(U32)[None, :]) != 0)
+    ) & (valid != 0)
+    lane_over = jnp.any(over, axis=0)
+
+    wsum = (w_ll + w_ml + w_of).astype(jnp.int32)
+    marks = jnp.zeros(n_dense_w, jnp.int32).at[cumw[1:]].add(1, mode="drop")
+    lane = jnp.cumsum(marks)
+    bit0 = 32 * (jax.lax.iota(jnp.int32, n_dense_w) - jnp.take(cumw, lane, mode="clip"))
+    wlane = jnp.take(wsum, lane, mode="clip")
+    nlane = jnp.take(nseq, lane, mode="clip")
+    s0 = bit0 // jnp.maximum(wlane, 1)
+    lo_f, hi_f = lo.reshape(-1), hi.reshape(-1)
+    acc = jnp.zeros(n_dense_w, U32)
+    for j in range(J):
+        s = s0 + j
+        live = (s * wlane < bit0 + 32) & (s < nlane)
+        idx = jnp.clip(s * L + lane, 0, R * L - 1)
+        lo_s = jnp.take(lo_f, idx)
+        hi_s = jnp.take(hi_f, idx)
+        sh = s * wlane - bit0  # in (-w, 32)
+        t = jnp.maximum(-sh, 0).astype(U32)
+        piece = jnp.where(
+            sh >= 0,
+            _shl32(lo_s, jnp.maximum(sh, 0).astype(U32)),
+            _shr32(lo_s, t)
+            | jnp.where(t <= 32, _shl32(hi_s, U32(32) - t), U32(0))
+            | jnp.where(t > 32, _shr32(hi_s, t - U32(32)), U32(0)),
+        )
+        acc = acc | jnp.where(live, piece, U32(0))
+    return acc, lane_over
+
+
 def _literals_scan(
     words,
     base,
@@ -654,14 +735,17 @@ def decode_sequences_v2(
     )
 
 
-@partial(jax.jit, static_argnames=("max_steps", "n_dense"))
+@partial(jax.jit, static_argnames=("max_steps", "n_dense_w", "J"))
 def decode_sequences_dense(
     words,
     base,
     p0,
     pend,
     nseq,
-    cum,  # int32[L + 1] sequence-count prefix sums
+    cumw,  # int32[L + 1] prefix sums of per-lane packed word counts
+    w_ll,  # int32[L] per-lane packed field widths (table-bounded)
+    w_ml,
+    w_of,
     ll_slot,  # int32[L] FSE table-bank indices per lane
     of_slot,
     ml_slot,
@@ -673,16 +757,18 @@ def decode_sequences_dense(
     ml_al,
     *,
     max_steps: int,
-    n_dense: int,
+    n_dense_w: int,
+    J: int,
 ):
-    """Narrow-packed sequence decode with on-device compaction.
+    """Narrow-packed sequence decode with on-device bit compaction.
 
     The never-stall invariant makes slot validity a per-lane prefix, so
-    lane j's sequences are exactly its first nseq[j] slots — compacted
-    here into (da uint32[n_dense], db uint32[n_dense], ok bool[L]) with
-    lane j's triples at cum[j]..cum[j+1]; da = valid << 31 | offset
-    value, db = ll << 16 | ml.  The fetch moves 8 B per real sequence
-    instead of per padded slot."""
+    lane j's sequences are exactly its first nseq[j] slots — bit-packed
+    here (see _pack_triples) into ONE uint32[n_dense_w + L] array:
+    packed words (lane j's bitstream at cumw[j]..cumw[j+1]) then per-
+    lane ok flags.  The fetch moves ~w bits per real sequence (the
+    per-lane table-bounded width, ~31 on the bench corpus) instead of
+    the 8 B da‖db planes."""
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
 
     def rows(flat, slot):
@@ -702,7 +788,8 @@ def decode_sequences_dense(
         rows(bank_flat1, ml_slot),
         ll_al, of_al, ml_al, max_steps, False,
     )
-    # One output array per call (da, db, ok) — see decode_literals_dense.
-    return jnp.concatenate(
-        [_compact(pa, cum, n_dense), _compact(pb, cum, n_dense), ok.astype(U32)]
+    packed, over = _pack_triples(
+        pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w, J
     )
+    # One output array per call — see decode_literals_dense.
+    return jnp.concatenate([packed, (ok & ~over).astype(U32)])

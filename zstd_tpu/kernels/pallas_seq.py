@@ -330,7 +330,7 @@ MAX_W = 16384  # (W, 128) u32 window = 8 MB VMEM at this cap
 
 @partial(
     jax.jit,
-    static_argnames=("max_steps", "n_dense", "W", "R_ll", "R_of", "R_ml"),
+    static_argnames=("max_steps", "n_dense_w", "J", "W", "R_ll", "R_of", "R_ml"),
 )
 def decode_sequences_dense_pl(
     words,  # uint32[Wtot] raw input words (plan-resident)
@@ -338,7 +338,10 @@ def decode_sequences_dense_pl(
     p0,  # int32[L]
     pend,  # int32[L]
     nseq,  # int32[L]
-    cum,  # int32[L + 1] sequence-count prefix sums
+    cumw,  # int32[L + 1] prefix sums of per-lane packed word counts
+    w_ll,  # int32[L] per-lane packed field widths (table-bounded)
+    w_ml,
+    w_of,
     ll_slot,  # int32[L] flat-bank slot indices
     of_slot,
     ml_slot,
@@ -350,19 +353,20 @@ def decode_sequences_dense_pl(
     ml_al,
     *,
     max_steps: int,
-    n_dense: int,
+    n_dense_w: int,
+    J: int,
     W: int,
     R_ll: int,
     R_of: int,
     R_ml: int,
 ):
     """Pallas production path, same packed single-array contract as
-    decode_sequences_dense: uint32[2 * n_dense + L] = da ‖ db ‖ ok.
+    decode_sequences_dense: uint32[n_dense_w + L] = bit-packed ‖ ok.
 
     The (W, L) window build and bank-row gathers run as XLA ops in the
-    same jit; the serial decode loop is the Mosaic kernel; compaction
-    is XLA again."""
-    from .entropy2 import _compact
+    same jit; the serial decode loop is the Mosaic kernel; bit-packing
+    compaction (entropy2._pack_triples) is XLA again."""
+    from .entropy2 import _pack_triples
 
     L = base.shape[0]
     assert L % LANES == 0 and W % L1_GROUP == 0, (L, W)
@@ -437,10 +441,7 @@ def decode_sequences_dense_pl(
     )
     pa = da.reshape(max_steps, SLOTS, L)
     pb = db.reshape(max_steps, SLOTS, L)
-    return jnp.concatenate(
-        [
-            _compact(pa, cum, n_dense),
-            _compact(pb, cum, n_dense),
-            (ok[0] != 0).astype(U32),
-        ]
+    packed, over = _pack_triples(
+        pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w, J
     )
+    return jnp.concatenate([packed, ((ok[0] != 0) & ~over).astype(U32)])

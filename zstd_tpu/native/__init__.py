@@ -135,12 +135,71 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
+        lib.zt_fse_parse_build.restype = ctypes.c_int
+        lib.zt_fse_parse_build.argtypes = [
+            ctypes.c_char_p,  # data
+            ctypes.c_size_t,  # len
+            ctypes.c_int,  # max accuracy log
+            ctypes.c_void_p,  # symbol uint16[512]
+            ctypes.c_void_p,  # baseline uint16[512]
+            ctypes.c_void_p,  # nbits uint8[512]
+            ctypes.POINTER(ctypes.c_size_t),  # bits consumed
+        ]
+        lib.zt_fse_weights.restype = ctypes.c_int
+        lib.zt_fse_weights.argtypes = [
+            ctypes.c_char_p,  # payload
+            ctypes.c_size_t,  # len
+            ctypes.c_void_p,  # out weights uint8[256]
+        ]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def fse_parse_build(data) -> tuple | None:
+    """Parse + build an FSE decode table from the buffer's bit 0.
+
+    Returns ``(accuracy_log, symbol, baseline, nbits, bits_consumed)``
+    with arrays sized to the table, or ``None`` when the native library
+    is unavailable or the stream is corrupt — the caller then runs the
+    Python path, which raises the precise typed error."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = bytes(data)
+    symbol = np.empty(512, dtype=np.uint16)
+    baseline = np.empty(512, dtype=np.uint16)
+    nbits = np.empty(512, dtype=np.uint8)
+    bits = ctypes.c_size_t(0)
+    al = lib.zt_fse_parse_build(
+        buf,
+        len(buf),
+        9,
+        symbol.ctypes.data,
+        baseline.ctypes.data,
+        nbits.ctypes.data,
+        ctypes.byref(bits),
+    )
+    if al < 0:
+        return None
+    size = 1 << al
+    return al, symbol[:size], baseline[:size], nbits[:size], int(bits.value)
+
+
+def fse_weights(payload) -> list[int] | None:
+    """Decode FSE-compressed Huffman weights; None → run the Python path."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = bytes(payload)
+    out = np.empty(256, dtype=np.uint8)
+    n = lib.zt_fse_weights(buf, len(buf), out.ctypes.data)
+    if n < 0:
+        return None
+    return out[:n].tolist()
 
 
 def xxh64(data, seed: int = 0) -> int:

@@ -167,7 +167,23 @@ def build_fse_table(accuracy_log: int, distribution: list[int] | np.ndarray) -> 
 
 
 def parse_fse_table(cur: ForwardBitCursor) -> FseTable:
-    """Parse header then build the decode table (fse.rs:204-208)."""
+    """Parse header then build the decode table (fse.rs:204-208).
+
+    Fast path: the native C parser+builder (native/zstd_tpu_native.c
+    zt_fse_parse_build) when the cursor is fresh — this is the hottest
+    prepass function (~150 us/call in Python, ~600 calls on the bench
+    corpus).  Any corruption returns None and the Python path below
+    re-parses to raise the precise typed error."""
+    if cur.pos == 0:
+        from .. import native
+
+        res = native.fse_parse_build(cur.data) if native.available() else None
+        if res is not None:
+            al, symbol, baseline, nbits, bits = res
+            cur.pos = bits
+            return FseTable(
+                accuracy_log=al, symbol=symbol, baseline=baseline, nbits=nbits
+            )
     al, dist = parse_fse_distribution(cur)
     return build_fse_table(al, dist)
 

@@ -55,6 +55,14 @@ def decode_fse_weights(data: memoryview | bytes) -> list[int]:
     state's pending symbol is flushed (huffman.rs:108-130,
     alternating.rs:28-62).
     """
+    from .. import native
+
+    if native.available():
+        res = native.fse_weights(data)
+        if res is not None:
+            return res
+        # Corrupt by the C path's checks: fall through so the Python
+        # path raises the precise typed error.
     fwd = ForwardBitCursor(data)
     table = parse_fse_table(fwd)
     bwd = BackwardBitCursor(memoryview(data)[fwd.bytes_read() :])

@@ -49,6 +49,16 @@ def _next_pow2(n: int, lo: int = 8) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _steps_ladder(need: int, lo: int, chunk: int = 64) -> int:
+    """Static step count for a pallas call: pow2 below ``chunk``, else a
+    sixteenth-pow2 ladder rounded to a multiple of ``chunk`` (the Mosaic
+    step-chunk size must divide it).  Steps are wasted compute for every
+    lane below the chunk max, so a fine ladder beats pow2's 2x."""
+    if need <= chunk:
+        return _next_pow2(need, lo=lo)
+    return -(-_dense_pad(need, lo=chunk) // chunk) * chunk
+
+
 def _dense_pad(n: int, lo: int = 256) -> int:
     """Pad a dense output length to a sixteenth-pow2 ladder.
 
@@ -228,6 +238,24 @@ class DeviceEngine:
         lo = 32 if self.mesh is None else max(32, int(self.mesh.devices.size))
         return _pad_pow2(idx, lo=lo)
 
+    def _seq_pack_meta(self, plan, sel, nseq):
+        """Per-call packed-triple metadata: table-bounded field widths,
+        word-count prefix sums, dense size and the static contributor
+        bound J (see kernels/entropy2._pack_triples).  w_of is clamped
+        so a sequence packs into <= 63 bits — legit offsets are bounded
+        by the window (<= 24 bits), and a clamped-out value flags the
+        lane to the wide retry rather than truncating."""
+        w_ll = plan.fse_wbits[plan.seq_ll_slot[sel]].astype(np.int32)
+        w_ml = plan.fse_wbits[plan.seq_ml_slot[sel]].astype(np.int32)
+        w_of = plan.fse_wbits[plan.seq_of_slot[sel]].astype(np.int32)
+        w_of = np.minimum(w_of, 63 - w_ll - w_ml)
+        wsum = w_ll + w_ml + w_of
+        cumw = np.zeros(len(sel) + 1, dtype=np.int32)
+        np.cumsum(-(-(nseq.astype(np.int64) * wsum) // 32), out=cumw[1:])
+        n_dense_w = _dense_pad(int(cumw[-1]))
+        J = 1 + -(-32 // int(wsum.min()))
+        return w_ll, w_ml, w_of, cumw, n_dense_w, J
+
     def _pallas_lits(self) -> bool:
         """Resolve the Pallas-literals choice (see __init__)."""
         if self.use_pallas is not None:
@@ -341,23 +369,21 @@ class DeviceEngine:
         return outs, ok
 
     def _dispatch_literals(self, plan: BatchPlan, subset=None):
-        """Dispatch the dense literals kernel over all lanes, grouped
-        into a few pow2-step tiers (two at most: an outlier tier must
-        not drag every lane's step count up).
+        """Dispatch the dense literals kernel over all lanes.
 
-        Measured on v5e: per-step compute is nearly flat in lane count
-        (~170 us at L=128 vs ~270 us at L=1024) and what scales with
-        output size is the relay fetch — which the dense kernel already
-        compacts to real symbols.  Literal step counts are exact (the
-        kernel never stalls: refill inflow 32 bits per 2 symbols >= max
-        outflow 22 bits), so no retry pass is needed.
+        Pallas-eligible lanes (window fits VMEM) go in 128-lane chunks
+        sorted by descending work, each with its own ladder step count;
+        the rest take the lax.scan kernel in pow2-step tiers.  Literal
+        step counts are exact (the kernel never stalls: refill inflow
+        32 bits per 2 symbols >= max outflow 22 bits), so no retry pass
+        is needed.
 
         ``subset``: decode only these lane indices (multihost binning,
         parallel/multihost.py); other lanes stay (None, ok=True) for
         the exchange step to fill.  Returns (outs, ok, pending).
         """
-        from ..kernels.entropy2 import LIT_SYMS_PER_STEP, decode_literals_dense
-        from ..kernels.pallas_lit import MAX_W, decode_literals_dense_pl
+        from ..kernels.entropy2 import LIT_SYMS_PER_STEP
+        from ..kernels.pallas_lit import MAX_W
 
         n = plan.n_lit_lanes
         outs: list[np.ndarray | None] = [None] * n
@@ -373,42 +399,61 @@ class DeviceEngine:
             ceil_steps = np.where(mask, ceil_steps, 0)
         lane = lambda a: self._put(a, lane=True)  # noqa: E731
         pallas_ok = self._pallas_lits()
-        for idx, steps in _tier_split(ceil_steps, lo=4):
-            # Per-lane window word count decides the Pallas VMEM fit.
+        wneed = (plan.lit_p0 >> 5) + 1
+        pl_mask = pallas_ok & (wneed <= MAX_W) & (ceil_steps > 0)
+        # Pallas lanes go in 128-lane chunks sorted by DESCENDING work,
+        # each with its own ladder step count — tier-granular steps
+        # wasted ~2x compute on the lanes below a tier's max.
+        pl_lanes = np.flatnonzero(pl_mask)
+        order = pl_lanes[np.argsort(-ceil_steps[pl_lanes], kind="stable")]
+        for c in range(0, len(order), 128):
+            idx = order[c : c + 128]
+            steps = _steps_ladder(int(ceil_steps[idx].max()), lo=4)
             W = _next_pow2(int((plan.lit_p0[idx] >> 5).max()) + 1, lo=8)
-            use_pl = pallas_ok and W <= MAX_W
-            sel, n_real = (
-                _pad_pow2(idx, lo=128) if use_pl else self._pad_lanes(idx)
-            )
-            regen = np.where(
-                np.arange(len(sel)) < n_real, plan.lit_regen[sel], 0
-            ).astype(np.int32)
-            cum = np.zeros(len(sel) + 1, dtype=np.int32)
-            np.cumsum(-(-regen // 4), out=cum[1:])
-            n_dense = _dense_pad(int(cum[-1]))
-            dev = self._plan_dev(plan)
-            kernel = decode_literals_dense_pl if use_pl else decode_literals_dense
-            kw = {"W": W} if use_pl else {}
-            handles = kernel(
-                dev["words"],
-                lane(plan.lit_base[sel]),
-                lane(plan.lit_p0[sel]),
-                lane(plan.lit_pend[sel]),
-                lane(regen),
-                self._put(cum, lane=False),
-                lane(plan.lit_slot[sel]),
-                dev["limits"],
-                dev["prevs"],
-                dev["lengths"],
-                dev["rankb"],
-                dev["ranked"],
-                max_steps=steps,
-                n_dense=n_dense,
-                **kw,
-            )
-            self.stats.kernel_calls += 1
-            pending.append((idx, cum, handles))
+            self._dispatch_lit_call(plan, idx, steps, W, True, pending, lane)
+        ceil_steps = np.where(pl_mask, 0, ceil_steps)
+        for idx, steps in _tier_split(ceil_steps, lo=4):
+            W = _next_pow2(int((plan.lit_p0[idx] >> 5).max()) + 1, lo=8)
+            self._dispatch_lit_call(plan, idx, steps, W, False, pending, lane)
         return outs, ok, pending
+
+    def _dispatch_lit_call(
+        self, plan, idx, steps, W, use_pl, pending, lane
+    ) -> None:
+        from ..kernels.entropy2 import decode_literals_dense
+        from ..kernels.pallas_lit import decode_literals_dense_pl
+
+        sel, n_real = (
+            _pad_pow2(idx, lo=128) if use_pl else self._pad_lanes(idx)
+        )
+        regen = np.where(
+            np.arange(len(sel)) < n_real, plan.lit_regen[sel], 0
+        ).astype(np.int32)
+        cum = np.zeros(len(sel) + 1, dtype=np.int32)
+        np.cumsum(-(-regen // 4), out=cum[1:])
+        n_dense = _dense_pad(int(cum[-1]))
+        dev = self._plan_dev(plan)
+        kernel = decode_literals_dense_pl if use_pl else decode_literals_dense
+        kw = {"W": W} if use_pl else {}
+        handles = kernel(
+            dev["words"],
+            lane(plan.lit_base[sel]),
+            lane(plan.lit_p0[sel]),
+            lane(plan.lit_pend[sel]),
+            lane(regen),
+            self._put(cum, lane=False),
+            lane(plan.lit_slot[sel]),
+            dev["limits"],
+            dev["prevs"],
+            dev["lengths"],
+            dev["rankb"],
+            dev["ranked"],
+            max_steps=steps,
+            n_dense=n_dense,
+            **kw,
+        )
+        self.stats.kernel_calls += 1
+        pending.append((idx, cum, handles))
 
     def _dispatch_sequences(self, plan: BatchPlan, subset=None):
         """Dispatch the dense sequences kernel; step counts are exact
@@ -434,29 +479,28 @@ class DeviceEngine:
             need_steps = np.where(mask, need_steps, 0)
         lane = lambda a: self._put(a, lane=True)  # noqa: E731
         pallas_ok = self._pallas_lits()
-        # Dense outputs decouple fetch size from step counts, so tiering
-        # only bounds wasted *compute* (~us/step) — two calls suffice.
+        wneed = (plan.seq_p0 >> 5) + 1
+        pl_mask = pallas_ok & (wneed <= MAX_W) & (need_steps > 0)
+        # One 128-lane pallas_call per chunk: a single-lane-block grid
+        # keeps the (W/64, 64, 128) window SINGLE-buffered (a >1 lane
+        # grid double-buffers it for pipelining — measured VMEM OOM at
+        # W = 16384).  Chunks sort by DESCENDING work so each call's
+        # ladder step count hugs its own chunk's max, not a tier max
+        # (tier-granular steps measured 8192 dispatched steps for ~1500
+        # of real work on the bench corpus).
+        pl_lanes = np.flatnonzero(pl_mask)
+        order = pl_lanes[np.argsort(-need_steps[pl_lanes], kind="stable")]
+        for c in range(0, len(order), 128):
+            self._dispatch_seq_pallas(plan, order[c : c + 128], pending)
+        need_steps = np.where(pl_mask, 0, need_steps)
         for idx, steps in _tier_split(need_steps, lo=2, max_calls=2):
-            W = _next_pow2(int((plan.seq_p0[idx] >> 5).max()) + 1, lo=64)
-            if pallas_ok and W <= MAX_W:
-                # One 128-lane pallas_call per chunk: a single-lane-block
-                # grid keeps the (W/64, 64, 128) window SINGLE-buffered
-                # (a >1 lane grid double-buffers it for pipelining —
-                # measured VMEM OOM at W = 16384).  Lanes sort by window
-                # size so small-stream chunks compile small W shapes.
-                order = idx[np.argsort(plan.seq_p0[idx] >> 5, kind="stable")]
-                for c in range(0, len(order), 128):
-                    self._dispatch_seq_pallas(
-                        plan, order[c : c + 128], steps, pending
-                    )
-                continue
             sel, n_real = self._pad_lanes(idx)
             nseq = np.where(
                 np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
             ).astype(np.int32)
-            cum = np.zeros(len(sel) + 1, dtype=np.int32)
-            np.cumsum(nseq, out=cum[1:])
-            n_dense = _dense_pad(int(cum[-1]))
+            w_ll, w_ml, w_of, cumw, n_dense_w, J = self._seq_pack_meta(
+                plan, sel, nseq
+            )
             dev = self._plan_dev(plan)
             handles = decode_sequences_dense(
                 dev["words"],
@@ -464,7 +508,10 @@ class DeviceEngine:
                 lane(plan.seq_p0[sel]),
                 lane(plan.seq_pend[sel]),
                 lane(nseq),
-                self._put(cum, lane=False),
+                self._put(cumw, lane=False),
+                lane(w_ll),
+                lane(w_ml),
+                lane(w_of),
                 lane(plan.seq_ll_slot[sel]),
                 lane(plan.seq_of_slot[sel]),
                 lane(plan.seq_ml_slot[sel]),
@@ -475,33 +522,29 @@ class DeviceEngine:
                 lane(plan.seq_of_al[sel]),
                 lane(plan.seq_ml_al[sel]),
                 max_steps=steps,
-                n_dense=n_dense,
+                n_dense_w=n_dense_w,
+                J=J,
             )
             self.stats.kernel_calls += 1
-            pending.append((idx, cum, handles))
+            pending.append((idx, cumw, handles))
         return outs, ok, pending
 
-    def _dispatch_seq_pallas(self, plan, idx, steps, pending) -> None:
+    def _dispatch_seq_pallas(self, plan, idx, pending) -> None:
         """One 128-lane Mosaic sequence call (see _dispatch_sequences)."""
         from ..kernels.entropy2 import SEQ_SLOTS_PER_STEP
         from ..kernels.pallas_seq import decode_sequences_dense_pl
 
         sel, n_real = _pad_pow2(idx, lo=128)
-        # The chunk's own step/window need, not the tier's: chunks are
-        # sorted by window size and steps are a per-call static.
-        steps = min(
-            steps,
-            _next_pow2(
-                int(-(-plan.seq_nseq[idx].max() // SEQ_SLOTS_PER_STEP)), lo=2
-            ),
+        steps = _steps_ladder(
+            int(-(-plan.seq_nseq[idx].max() // SEQ_SLOTS_PER_STEP)), lo=2
         )
         W = _next_pow2(int((plan.seq_p0[idx] >> 5).max()) + 1, lo=64)
         nseq = np.where(
             np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
         ).astype(np.int32)
-        cum = np.zeros(len(sel) + 1, dtype=np.int32)
-        np.cumsum(nseq, out=cum[1:])
-        n_dense = _dense_pad(int(cum[-1]))
+        w_ll, w_ml, w_of, cumw, n_dense_w, J = self._seq_pack_meta(
+            plan, sel, nseq
+        )
         dev = self._plan_dev(plan)
         lane = lambda a: self._put(a, lane=True)  # noqa: E731
         handles = decode_sequences_dense_pl(
@@ -510,7 +553,10 @@ class DeviceEngine:
             lane(plan.seq_p0[sel]),
             lane(plan.seq_pend[sel]),
             lane(nseq),
-            self._put(cum, lane=False),
+            self._put(cumw, lane=False),
+            lane(w_ll),
+            lane(w_ml),
+            lane(w_of),
             lane(plan.seq_ll_slot[sel]),
             lane(plan.seq_of_slot[sel]),
             lane(plan.seq_ml_slot[sel]),
@@ -521,14 +567,15 @@ class DeviceEngine:
             lane(plan.seq_of_al[sel]),
             lane(plan.seq_ml_al[sel]),
             max_steps=steps,
-            n_dense=n_dense,
+            n_dense_w=n_dense_w,
+            J=J,
             W=W,
             R_ll=_next_pow2(1 << int(plan.seq_ll_al[sel].max()), lo=8),
             R_of=_next_pow2(1 << int(plan.seq_of_al[sel].max()), lo=8),
             R_ml=_next_pow2(1 << int(plan.seq_ml_al[sel].max()), lo=8),
         )
         self.stats.kernel_calls += 1
-        pending.append((idx, cum, handles))
+        pending.append((idx, cumw, handles))
 
     def _finish_literals(self, plan, pending, outs, ok, fetched) -> None:
         # Each pending call fetched ONE packed uint32 array:
@@ -546,27 +593,42 @@ class DeviceEngine:
                 ok[lane] = lane_ok[j]
 
     def _finish_sequences(self, plan, pending, outs, ok, fetched) -> None:
-        # One packed uint32 array per call: da (n_dense) ‖ db (n_dense)
-        # ‖ ok flags (len(cum) - 1) — see decode_sequences_dense.
-        for idx, cum, _handles_ in pending:
+        # One uint32 array per call: bit-packed triple streams
+        # (n_dense_w words) ‖ per-lane ok flags — see
+        # decode_sequences_dense / _pack_triples.  Prefix validity is
+        # the kernel's job (a stall flags the lane bad); packing
+        # overflow also lands in the ok flag, so every not-ok lane
+        # re-decodes on the wide path.
+        wb = plan.fse_wbits
+        for idx, cumw, _handles_ in pending:
             arr = next(fetched)
-            n_dense = (arr.size - (len(cum) - 1)) // 2
-            da = arr[:n_dense]
-            db = arr[n_dense : 2 * n_dense]
-            lane_ok = arr[2 * n_dense :].astype(bool)
-            valid = (da >> np.uint32(31)).astype(bool)
-            ofv = da & np.uint32(0x7FFFFFFF)
-            vll = (db >> 16).astype(np.int32)
-            vml = (db & np.uint32(0xFFFF)).astype(np.int32)
+            n_dense_w = arr.size - (len(cumw) - 1)
+            packed = np.concatenate(
+                [arr[:n_dense_w], np.zeros(2, np.uint32)]
+            ).astype(np.uint64)
+            lane_ok = arr[n_dense_w:].astype(bool)
+            one = np.uint64(1)
             for j, lane in enumerate(idx):
-                s = int(cum[j])
                 ns = int(plan.seq_nseq[lane])
-                outs[lane] = (vll[s : s + ns], ofv[s : s + ns], vml[s : s + ns])
-                # Belt-and-braces: the dense layout trusts the
-                # never-stall prefix invariant; cross-check the fetched
-                # slots' valid bits so any violation routes the lane to
-                # the wide retry instead of shipping shifted triples.
-                ok[lane] = bool(lane_ok[j]) and bool(valid[s : s + ns].all())
+                w_ll = int(wb[plan.seq_ll_slot[lane]])
+                w_ml = int(wb[plan.seq_ml_slot[lane]])
+                w_of = min(int(wb[plan.seq_of_slot[lane]]), 63 - w_ll - w_ml)
+                w = w_ll + w_ml + w_of
+                words = packed[int(cumw[j]) : int(cumw[j + 1]) + 2]
+                pos = np.arange(ns, dtype=np.int64) * w
+                wi = pos >> 5
+                sh = (pos & 31).astype(np.uint64)
+                v = (words[wi] >> sh) | (words[wi + 1] << (np.uint64(32) - sh))
+                v |= np.where(sh > 0, words[wi + 2], 0) << np.where(
+                    sh > 0, np.uint64(64) - sh, np.uint64(0)
+                )
+                v &= (one << np.uint64(w)) - one
+                outs[lane] = (
+                    (v & ((one << np.uint64(w_ll)) - one)).astype(np.int32),
+                    ((v >> np.uint64(w_ll + w_ml))).astype(np.uint32),
+                    ((v >> np.uint64(w_ll)) & ((one << np.uint64(w_ml)) - one)).astype(np.int32),
+                )
+                ok[lane] = bool(lane_ok[j])
 
     def _retry_sequences(self, plan: BatchPlan, outs, ok) -> None:
         """Re-decode packed-range-overflow lanes (offset code >= 31, or
