@@ -183,6 +183,38 @@ class DeviceEngine:
         self.stats.fetch_bytes += sum(int(a.nbytes) for a in out)
         return out
 
+    def _fetch_stream(self, xs):
+        """Yield each call's fetched output in dispatch order, with the
+        fetches running on a small thread pool: the relay transfer of
+        call k overlaps both the device compute of calls k+1.. (the
+        device executes in dispatch order) and the host-side finish
+        work on already-fetched calls.  Two workers keep ~2 transfers
+        in flight, recovering the batched-device_get throughput that a
+        strictly serial per-handle fetch would lose."""
+        import jax
+
+        handles = list(xs)
+        if len(handles) <= 1:
+            return iter(self._fetch_tree(handles))
+        if getattr(self, "_fetch_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fetch_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="zt-fetch"
+            )
+        futs = [
+            self._fetch_pool.submit(lambda h=h: np.asarray(jax.device_get(h)))
+            for h in handles
+        ]
+
+        def gen():
+            for f in futs:
+                a = f.result()
+                self.stats.fetch_bytes += int(a.nbytes)
+                yield a
+
+        return gen()
+
     def _plan_dev(self, plan) -> dict:
         """Per-plan device residents, uploaded once per decompress: the
         u32 words buffer (the largest input) and the FSE/Huffman table
@@ -310,7 +342,7 @@ class DeviceEngine:
         else:
             lit_outs, lit_ok, lp = self._dispatch_literals(plan)
             seq_outs, seq_ok, sp = self._dispatch_sequences(plan)
-            it = iter(self._fetch_tree(_handles(lp) + _handles(sp)))
+            it = self._fetch_stream(_handles(lp) + _handles(sp))
         self._finish_literals(plan, lp, lit_outs, lit_ok, it)
         self._finish_sequences(plan, sp, seq_outs, seq_ok, it)
         self._retry_sequences(plan, seq_outs, seq_ok)
@@ -357,13 +389,13 @@ class DeviceEngine:
 
     def _run_literals_wide(self, plan: BatchPlan, subset=None):
         outs, ok, pending = self._dispatch_literals(plan, subset)
-        it = iter(self._fetch_tree(_handles(pending)))
+        it = self._fetch_stream(_handles(pending))
         self._finish_literals(plan, pending, outs, ok, it)
         return outs, ok
 
     def _run_sequences_wide(self, plan: BatchPlan, subset=None):
         outs, ok, pending = self._dispatch_sequences(plan, subset)
-        it = iter(self._fetch_tree(_handles(pending)))
+        it = self._fetch_stream(_handles(pending))
         self._finish_sequences(plan, pending, outs, ok, it)
         self._retry_sequences(plan, outs, ok)
         return outs, ok
