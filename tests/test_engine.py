@@ -320,3 +320,26 @@ def test_injected_assembly_exception_falls_back_to_oracle(monkeypatch):
     assert out == payload
     assert eng.stats.fallback_frames >= 1
     assert any("assembly" in r for r in eng.stats.fallback_reasons)
+
+
+def test_fetch_thread_exception_falls_back_to_oracle(monkeypatch):
+    # The streaming fetch (engine._fetch_stream) raises worker-thread
+    # exceptions at the consuming next(); that must route through the
+    # same last-resort oracle fallback as a dispatch-side failure.
+    payload = (b"fetch thread safety %d " * 400) % tuple(range(400))
+    comp = libzstd.compress(payload, 6, checksum=True)
+
+    def boom(self, xs):
+        handles = list(xs)
+
+        def gen():
+            raise OSError("injected relay fetch failure")
+            yield  # pragma: no cover
+
+        return gen() if handles else iter(())
+
+    monkeypatch.setattr(DeviceEngine, "_fetch_stream", boom)
+    eng = DeviceEngine()
+    out = eng.decompress(comp)
+    assert out == payload
+    assert eng.stats.fallback_frames >= 1

@@ -1,6 +1,13 @@
 #!/usr/bin/env python3
 """Correctness + timing harness: the Pallas sequences kernel vs the
-lax.scan dense kernel, on real bench-corpus sequence lanes."""
+lax.scan dense kernel, on real bench-corpus sequence lanes — updated
+to the bit-packed single-array contract (r4: packed triple words ‖ ok).
+
+Timing caveat (measured r4): the axon relay memoizes repeat
+executions with content-identical input buffers, so warm per-call
+timings in one process can read near zero.  Treat the timings here as
+lower bounds; the end-to-end bench (bench.py) is ground truth.
+"""
 
 from __future__ import annotations
 
@@ -16,7 +23,7 @@ import numpy as np  # noqa: E402
 
 from bench import build_corpus  # noqa: E402
 from zstd_tpu.format.block_table import build_batch_plan  # noqa: E402
-from zstd_tpu.runtime.engine import _dense_pad, _next_pow2  # noqa: E402
+from zstd_tpu.runtime.engine import DeviceEngine, _next_pow2  # noqa: E402
 from zstd_tpu.testing import libzstd  # noqa: E402
 
 
@@ -41,56 +48,40 @@ def main(mb: float = 8.0) -> None:
         sel = np.concatenate([sel, np.zeros(LANES - len(sel), dtype=sel.dtype)])
     n_real = min(n, LANES)
 
+    eng = DeviceEngine()
     nseq = np.where(np.arange(LANES) < n_real, plan.seq_nseq[sel], 0).astype(
         np.int32
     )
     steps = _next_pow2(int(-(-nseq.max() // SEQ_SLOTS_PER_STEP)), lo=2)
-    cum = np.zeros(LANES + 1, dtype=np.int32)
-    np.cumsum(nseq, out=cum[1:])
-    n_dense = _dense_pad(int(cum[-1]))
+    w_ll, w_ml, w_of, cumw, n_dense_w, J = eng._seq_pack_meta(plan, sel, nseq)
     W = _next_pow2(int((plan.seq_p0[sel] >> 5).max()) + 1, lo=64)
     R_ll = _next_pow2(1 << int(plan.seq_ll_al[sel].max()), lo=8)
     R_of = _next_pow2(1 << int(plan.seq_of_al[sel].max()), lo=8)
     R_ml = _next_pow2(1 << int(plan.seq_ml_al[sel].max()), lo=8)
-    print(f"lanes={n_real} steps={steps} W={W} R=({R_ll},{R_of},{R_ml}) "
-          f"n_dense={n_dense} total_seqs={int(nseq.sum())}")
+    print(
+        f"lanes={n_real} steps={steps} W={W} R=({R_ll},{R_of},{R_ml}) "
+        f"n_dense_w={n_dense_w} J={J} total_seqs={int(nseq.sum())}"
+    )
 
     j = jnp.asarray
-    common = dict(
-        base=j(plan.seq_base[sel]),
-        p0=j(plan.seq_p0[sel]),
-        pend=j(plan.seq_pend[sel]),
-        nseq=j(nseq),
-        cum=j(cum),
-        ll_slot=j(plan.seq_ll_slot[sel]),
-        of_slot=j(plan.seq_of_slot[sel]),
-        ml_slot=j(plan.seq_ml_slot[sel]),
-        ll_al=j(plan.seq_ll_al[sel]),
-        of_al=j(plan.seq_of_al[sel]),
-        ml_al=j(plan.seq_ml_al[sel]),
+    args = (
+        j(plan.words), j(plan.seq_base[sel]), j(plan.seq_p0[sel]),
+        j(plan.seq_pend[sel]), j(nseq), j(cumw),
+        j(w_ll), j(w_ml), j(w_of),
+        j(plan.seq_ll_slot[sel]), j(plan.seq_of_slot[sel]),
+        j(plan.seq_ml_slot[sel]),
+        j(plan.fse_flat0), j(plan.fse_flat1), j(plan.fse_off),
+        j(plan.seq_ll_al[sel]), j(plan.seq_of_al[sel]),
+        j(plan.seq_ml_al[sel]),
     )
-    words = j(plan.words)
-    flat0, flat1, off = j(plan.fse_flat0), j(plan.fse_flat1), j(plan.fse_off)
+    kw = dict(max_steps=steps, n_dense_w=n_dense_w, J=J)
 
     def run_scan():
-        return decode_sequences_dense(
-            words, common["base"], common["p0"], common["pend"],
-            common["nseq"], common["cum"],
-            common["ll_slot"], common["of_slot"], common["ml_slot"],
-            flat0, flat1, off,
-            common["ll_al"], common["of_al"], common["ml_al"],
-            max_steps=steps, n_dense=n_dense,
-        )
+        return decode_sequences_dense(*args, **kw)
 
     def run_pl():
         return decode_sequences_dense_pl(
-            words, common["base"], common["p0"], common["pend"],
-            common["nseq"], common["cum"],
-            common["ll_slot"], common["of_slot"], common["ml_slot"],
-            flat0, flat1, off,
-            common["ll_al"], common["of_al"], common["ml_al"],
-            max_steps=steps, n_dense=n_dense,
-            W=W, R_ll=R_ll, R_of=R_of, R_ml=R_ml,
+            *args, **kw, W=W, R_ll=R_ll, R_of=R_of, R_ml=R_ml
         )
 
     t0 = time.perf_counter()
@@ -101,21 +92,22 @@ def main(mb: float = 8.0) -> None:
     t_pl_compile = time.perf_counter() - t0
     print(f"compile: scan {t_scan_compile:.1f}s pallas {t_pl_compile:.1f}s")
 
-    ok_s = out_s[2 * n_dense :].astype(bool)
-    ok_p = out_p[2 * n_dense :].astype(bool)
-    print("ok lanes: scan", int(ok_s[:n_real].sum()), "pallas",
-          int(ok_p[:n_real].sum()), "/", n_real)
-    ns = int(cum[n_real])
-    same_da = np.array_equal(out_s[:ns], out_p[:ns])
-    same_db = np.array_equal(out_s[n_dense : n_dense + ns],
-                             out_p[n_dense : n_dense + ns])
-    print("bit-exact: da", same_da, "db", same_db,
-          "ok match", bool((ok_s[:n_real] == ok_p[:n_real]).all()))
-    if not (same_da and same_db):
-        da_s, da_p = out_s[:ns], out_p[:ns]
-        bad = np.flatnonzero(da_s != da_p)
-        print("first da mismatches at", bad[:10])
-        lane_of = np.searchsorted(cum, bad[:10], side="right") - 1
+    ok_s = out_s[n_dense_w:].astype(bool)
+    ok_p = out_p[n_dense_w:].astype(bool)
+    print(
+        "ok lanes: scan", int(ok_s[:n_real].sum()),
+        "pallas", int(ok_p[:n_real].sum()), "/", n_real,
+    )
+    ns_w = int(cumw[n_real])
+    same = np.array_equal(out_s[:ns_w], out_p[:ns_w])
+    print(
+        "bit-exact packed:", same,
+        "ok match", bool((ok_s[:n_real] == ok_p[:n_real]).all()),
+    )
+    if not same:
+        bad = np.flatnonzero(out_s[:ns_w] != out_p[:ns_w])
+        print("first packed-word mismatches at", bad[:10])
+        lane_of = np.searchsorted(cumw, bad[:10], side="right") - 1
         print("lanes:", lane_of)
         sys.exit(1)
 
@@ -131,8 +123,10 @@ def main(mb: float = 8.0) -> None:
     t_s = timeit(run_scan)
     t_p = timeit(run_pl)
     print(f"scan:   {t_s*1e3:.2f} ms  ({t_s/steps*1e6:.1f} us/step)")
-    print(f"pallas: {t_p*1e3:.2f} ms  ({t_p/steps*1e6:.1f} us/step)  "
-          f"speedup {t_s/t_p:.2f}x")
+    print(
+        f"pallas: {t_p*1e3:.2f} ms  ({t_p/steps*1e6:.1f} us/step)  "
+        f"speedup {t_s/t_p:.2f}x"
+    )
 
 
 if __name__ == "__main__":
