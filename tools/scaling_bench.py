@@ -33,7 +33,7 @@ if nproc > 1:
 from bench import build_corpus
 from zstd_tpu.testing import libzstd
 raw = build_corpus({mb})
-chunk = 256 << 10   # small frames: CPU-backend kernel steps are slow
+chunk = 128 << 10   # small frames: CPU-backend kernel steps are slow
 comp = b"".join(
     libzstd.compress(raw[i : i + chunk], 3, checksum=True)
     for i in range(0, len(raw), chunk)
@@ -64,15 +64,16 @@ def _free_port() -> int:
 
 def run(nproc: int, mb: float) -> list[dict]:
     env = dict(os.environ)
-    # Keep the axon plugin env: it provides the REMOTE COMPILE service;
-    # stripping it forces local XLA compiles on this 2-core host
-    # (30+ min for these shapes, measured).  JAX_PLATFORMS="" +
-    # JAX_PLATFORM_NAME=cpu still selects CPU devices (the
-    # tests/test_parallel.py combo).
-    env["JAX_PLATFORMS"] = ""
-    env["JAX_PLATFORM_NAME"] = "cpu"
+    # Mirror tests/test_multihost.py exactly: strip the axon plugin and
+    # use the 4-virtual-device CPU config whose executables already sit
+    # in the persistent compile cache from the test suite.  (An earlier
+    # revision kept the axon env for its remote-compile service and used
+    # 1 device — r4 measured that config compiling LOCALLY for 20+ min
+    # on this 2-core host before being killed.)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
     ).strip()
     script = _SUBPROC.format(repo=REPO, port=_free_port(), nproc=nproc, mb=mb)
     procs = [
