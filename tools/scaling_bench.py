@@ -25,11 +25,12 @@ _SUBPROC = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 import jax
-print("DEVICES", jax.devices(), file=sys.stderr, flush=True)
 from zstd_tpu.parallel import multihost
 nproc = {nproc}
 if nproc > 1:
+    # Must precede ANY backend-initialising jax call (jax.devices etc.).
     multihost.initialize("localhost:{port}", nproc, int(sys.argv[1]))
+print("DEVICES", jax.devices(), file=sys.stderr, flush=True)
 from bench import build_corpus
 from zstd_tpu.testing import libzstd
 raw = build_corpus({mb})
