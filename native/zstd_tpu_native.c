@@ -11,8 +11,6 @@
  *     copies with overlap-correct period replication.  Used by the
  *     engine's host-assembly stage; the device wavefront kernel is the
  *     pure-TPU alternative.
- *   - huffman_decode_streams: serial flat-table Huffman decode used by
- *     the host oracle fallback path.
  *
  * Built with plain gcc -O2 -shared; loaded via ctypes (no pybind11 in
  * the environment).  Return codes mirror the Python error taxonomy.
@@ -215,46 +213,6 @@ static inline uint32_t zt_hash4(const uint8_t *p) {
     uint32_t v;
     memcpy(&v, p, 4);
     return (v * 2654435761u) >> (32 - ZT_HASH_LOG);
-}
-
-/* --------------------- serial flat-table Huffman ------------------------ */
-
-/* Decode one backward Huffman stream with an 11-bit flat LUT
- * (packed int16 entries: symbol << 4 | nbits).  Writes exactly `regen`
- * bytes or returns nonzero.  Host fallback path counterpart of the
- * batched device kernel. */
-EXPORT int zt_huffman_decode_stream(
-    const uint8_t *stream, size_t stream_len,
-    const int16_t *lut, int index_bits,
-    uint8_t *out, size_t regen) {
-    if (stream_len == 0 || stream[stream_len - 1] == 0) return 1;
-    /* Sentinel position. */
-    int64_t pos = 8 * (int64_t)(stream_len - 1);
-    {
-        uint8_t last = stream[stream_len - 1];
-        int bl = 0;
-        while (last) { bl++; last >>= 1; }
-        pos += bl - 1;
-    }
-    for (size_t i = 0; i < regen; i++) {
-        int64_t avail = pos < index_bits ? pos : index_bits;
-        int64_t s = pos - avail;
-        /* Read up to 3 bytes around bit s. */
-        uint32_t window = 0;
-        size_t byte0 = (size_t)(s >> 3);
-        for (int b = 2; b >= 0; b--) {
-            size_t bi = byte0 + (size_t)b;
-            window = (window << 8) | (bi < stream_len ? stream[bi] : 0);
-        }
-        uint32_t raw = (window >> (s & 7)) & ((1u << avail) - 1);
-        uint32_t idx = raw << (index_bits - avail);
-        int16_t entry = lut[idx];
-        int nb = entry & 0xF;
-        out[i] = (uint8_t)((entry >> 4) & 0xFF);
-        pos -= nb;
-        if (pos < 0) return 2;
-    }
-    return pos == 0 ? 0 : 3;
 }
 
 /* ---------------- LZ77 hash-chain lazy matcher (encoder) ----------------

@@ -96,34 +96,23 @@ def test_corrupt_stream_falls_back_to_oracle_error(engine):
 
 
 def test_sequence_dispatch_honesty(monkeypatch):
-    # queue_kernels must actually select different kernels (the r1
-    # shadowing bug made the flag a no-op for sequences) and both paths
-    # must produce identical bytes.
+    # The wide kernel dispatch must actually run (no silent oracle
+    # fallback) and its bytes must match libzstd.
     payload = (b"dispatch honesty %d " * 600) % tuple(range(600))
     comp = libzstd.compress(payload, 6, checksum=True)
     calls = []
     orig_w = DeviceEngine._dispatch_sequences
-    orig_q = DeviceEngine._run_sequences_queued
     monkeypatch.setattr(
         DeviceEngine,
         "_dispatch_sequences",
         lambda self, plan, subset=None: calls.append("wide")
         or orig_w(self, plan, subset),
     )
-    monkeypatch.setattr(
-        DeviceEngine,
-        "_run_sequences_queued",
-        lambda self, plan: calls.append("queued") or orig_q(self, plan),
-    )
-    eng_w = DeviceEngine(queue_kernels=False)
+    eng_w = DeviceEngine()
     out_w = eng_w.decompress(comp)
     assert calls == ["wide"]
     assert eng_w.stats.fallback_frames == 0
-    eng_q = DeviceEngine(queue_kernels=True)
-    out_q = eng_q.decompress(comp)
-    assert calls == ["wide", "queued"]
-    assert eng_q.stats.fallback_frames == 0
-    assert out_w == out_q == payload
+    assert out_w == payload
 
 
 def test_engine_matches_oracle_on_mixed_frames(engine):
@@ -282,10 +271,9 @@ def test_stall_heavy_sequences_no_fallback():
     assert oracle_decompress(data) == payload
     if libzstd.available():
         assert libzstd.decompress(data) == payload
-    for kw in ({}, {"queue_kernels": True}):
-        eng = DeviceEngine(**kw)
-        assert eng.decompress(data) == payload, kw
-        assert eng.stats.fallback_frames == 0, kw
+    eng = DeviceEngine()
+    assert eng.decompress(data) == payload
+    assert eng.stats.fallback_frames == 0
 
 
 def test_injected_kernel_exception_falls_back_to_oracle(monkeypatch):

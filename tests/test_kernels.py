@@ -1,15 +1,13 @@
 """Device-kernel building-block tests.
 
 The buffered bit window (kernels/bitbuf.py) is validated against the
-host BackwardBitCursor on random streams; the lane scheduler
-(runtime/schedule.py) against its packing invariants; the device LZ77
+host BackwardBitCursor on random streams; the device LZ77
 source-map builder against the host executor.  These run on whatever
 JAX platform is available (tiny shapes)."""
 
 import numpy as np
 import pytest
 
-from zstd_tpu.runtime.schedule import pack_queues
 from zstd_tpu.utils.bits import BackwardBitCursor, backward_start_bitpos
 
 
@@ -57,30 +55,6 @@ def test_bitbuf_matches_host_cursor(nwords):
             # identically once the stream is exhausted.
             cur.pos = max(0, cur.pos - int(row[i]))
             assert got[i] == want, (i, row[i])
-
-
-def test_pack_queues_invariants():
-    rng = np.random.default_rng(0)
-    n = 200
-    group_ids = rng.integers(0, 17, n)
-    counts = rng.integers(1, 5000, n)
-    work = -(-counts // 32)
-    qp = pack_queues(group_ids, counts, work, np.zeros(n, np.int64), 32, 64)
-    # Every stream placed exactly once.
-    assert sorted(qp.placement) == list(range(n))
-    L, Q = qp.q_base.shape
-    assert L & (L - 1) == 0 and Q & (Q - 1) == 0  # pow2-padded shapes
-    for s, (lane, k) in qp.placement.items():
-        assert k < qp.qlen[lane] <= Q
-        assert qp.q_count[lane, k] == counts[s]
-        # Lanes never mix groups.
-        assert group_ids[qp.lane_rep[lane]] == group_ids[s]
-    # max_steps bounds every lane's total work.
-    for lane in range(L):
-        tot = sum(
-            work[s] for s, (ln, _) in qp.placement.items() if ln == lane
-        )
-        assert tot <= qp.max_steps
 
 
 def test_source_map_matches_host_executor():

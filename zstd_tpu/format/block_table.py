@@ -342,8 +342,7 @@ class BatchPlan:
 
     def fse_rows(self, slots: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Host-gathered (len(slots), 512) plane rows for the wide-retry
-        and queue kernels (the dense kernels gather from the flat bank
-        on-device).  Rows past a table's 2^al end are neighboring-table
+        kernel (the dense kernels gather from the flat bank on-device).  Rows past a table's 2^al end are neighboring-table
         garbage, never selected (states stay < 2^al)."""
         idx = self.fse_off[slots][:, None] + np.arange(FSE_SLOT_SIZE)
         idx = np.minimum(idx, len(self.fse_flat0) - 1)

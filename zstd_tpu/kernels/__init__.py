@@ -2,7 +2,7 @@
 
 * ``bitbuf.py``      — per-lane N-word buffered bit windows (v2)
 * ``entropy2.py``    — v2 kernels (select-based lookups, tile-aligned
-  emission) + work-conserving queue variants
+  emission)
 * ``lz77_device.py`` — pointer-doubling sequence execution (M2)
 
 Why these are jnp/XLA programs rather than hand-written Pallas kernels

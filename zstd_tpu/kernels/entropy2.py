@@ -288,284 +288,6 @@ def decode_literals_dense(
     return jnp.concatenate([_compact(ys, cum, n_dense), ok.astype(U32)])
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
-def decode_literals_q(
-    words,  # uint32[W]
-    q_base,  # int32[L, Q] per-lane stream queue: base word
-    q_p0,  # int32[L, Q] sentinel bit position
-    q_pend,  # int32[L, Q] end bit position
-    q_regen,  # int32[L, Q] symbols to produce
-    qlen,  # int32[L] queue length
-    limits,  # int32[L, 12] (lane's table is FIXED across its queue)
-    prevs,
-    lengths,
-    rankb,
-    ranked,  # int32[L, 256]
-    *,
-    max_steps: int,
-):
-    """Work-conserving literals decode: each lane drains a queue of
-    streams that share its Huffman table (the host groups a block's 4
-    streams — and treeless reuses — per table, SURVEY.md §2.3 "SP").
-
-    Stream switches happen at step (32-symbol) boundaries, so the host
-    can attribute output positionally: stream k of a lane occupies the
-    ``ceil(regen/32)`` steps after its predecessors.  Returns
-    (packed uint32[steps, 8, L], ok bool[L]).
-    """
-    L, Q = q_base.shape
-    iota12 = jax.lax.broadcasted_iota(jnp.int32, (1, 12), 1)
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
-    iotaQ = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
-
-    def qsel(arr, qi):
-        m = iotaQ == qi[:, None]
-        return jnp.sum(jnp.where(m, arr, 0), axis=1)
-
-    qi0 = jnp.zeros(qlen.shape, jnp.int32)
-    base = qsel(q_base, qi0)
-    p0 = qsel(q_p0, qi0)
-    pend = qsel(q_pend, qi0)
-    regen = qsel(q_regen, qi0)
-    bs, nbits, wi, top_bits = buf_init(p0, LIT_BUF_WORDS)
-    bs, nbits, wi = buf_insert_top(bs, nbits, wi, top_bits, words, base)
-    for _ in range(2):
-        bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
-    pos = p0
-    produced = jnp.zeros_like(regen)
-    ok = jnp.ones(qlen.shape, bool)
-
-    def body(carry, _t):
-        bs, nbits, wi, pos, base, pend, regen, produced, qi, ok = carry
-        syms = []
-        for _g in range(LIT_SYMS_PER_STEP // 2):
-            bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
-            for _k in range(2):
-                active = produced < regen
-                v = buf_peek(bs, 11).astype(jnp.int32)
-                j = jnp.sum((v[:, None] >= limits).astype(jnp.int32), axis=1)
-                m12 = iota12 == j[:, None]
-                length = jnp.sum(jnp.where(m12, lengths, 0), axis=1)
-                prev = jnp.sum(jnp.where(m12, prevs, 0), axis=1)
-                rb = jnp.sum(jnp.where(m12, rankb, 0), axis=1)
-                rank = rb + ((v - prev) >> (11 - length))
-                m256 = iota256 == rank[:, None]
-                sym = jnp.sum(jnp.where(m256, ranked, 0), axis=1).astype(U32)
-                n = jnp.where(active, length, 0)
-                bs, nbits = buf_consume(bs, nbits, n)
-                pos = pos - n
-                produced = produced + active.astype(jnp.int32)
-                syms.append(sym & U32(0xFF))
-        # Stream switch at the step boundary.
-        done = produced >= regen
-        adv = done & (qi < qlen)
-        ok = ok & (~adv | (pos == pend))
-        qi = qi + adv.astype(jnp.int32)
-        load = adv & (qi < qlen)
-        nbase = qsel(q_base, qi)
-        np0 = qsel(q_p0, qi)
-        nregen = qsel(q_regen, qi)
-        base = jnp.where(load, nbase, base)
-        pend = jnp.where(load, qsel(q_pend, qi), pend)
-        regen = jnp.where(load, nregen, regen)
-        produced = jnp.where(load, 0, produced)
-        pos = jnp.where(load, np0, pos)
-        nbs, nnbits, nwi, ntop = buf_init(np0, LIT_BUF_WORDS)
-        nbs, nnbits, nwi = buf_insert_top(nbs, nnbits, nwi, ntop, words, nbase)
-        for _ in range(2):
-            nbs, nnbits, nwi = buf_refill(nbs, nnbits, nwi, words, nbase)
-        bs = tuple(jnp.where(load, nb, b) for nb, b in zip(nbs, bs))
-        nbits = jnp.where(load, nnbits, nbits)
-        wi = jnp.where(load, nwi, wi)
-
-        rows = [
-            syms[4 * r]
-            | (syms[4 * r + 1] << U32(8))
-            | (syms[4 * r + 2] << U32(16))
-            | (syms[4 * r + 3] << U32(24))
-            for r in range(8)
-        ]
-        return (
-            (bs, nbits, wi, pos, base, pend, regen, produced, qi, ok),
-            jnp.stack(rows),
-        )
-
-    carry0 = (bs, nbits, wi, pos, base, pend, regen, produced, qi0, ok)
-    (bs, nbits, wi, pos, base, pend, regen, produced, qi, ok), ys = jax.lax.scan(
-        body, carry0, jnp.arange(max_steps, dtype=jnp.int32)
-    )
-    ok = ok & (qi >= qlen)
-    return ys, ok
-
-
-@partial(jax.jit, static_argnames=("max_steps",))
-def decode_sequences_q(
-    words,
-    q_base,  # int32[L, Q]
-    q_p0,
-    q_pend,
-    q_nseq,
-    qlen,  # int32[L]
-    ll_p0,  # int32[L, 512] — lane's table triple is FIXED across its queue
-    ll_p1,
-    of_p0,
-    of_p1,
-    ml_p0,
-    ml_p1,
-    ll_al,  # int32[L]
-    of_al,
-    ml_al,
-    *,
-    max_steps: int,
-):
-    """Work-conserving sequence decode: each lane drains a queue of
-    streams sharing its (LL, OF, ML) table triple (repeat-mode chains
-    group naturally).  A slot either initializes a freshly-loaded
-    stream's three states, decodes one sequence, or stalls for bits;
-    the valid plane lets the host compact, and queue order attributes
-    sequences to streams by count.
-
-    Returns (ll, ofv, ml, valid) each [steps, 8, L] plus ok bool[L].
-    """
-    L, Q = q_base.shape
-    iota512 = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
-    iotaQ = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
-    al_sum = ll_al + of_al + ml_al
-
-    def qsel(arr, qi):
-        m = iotaQ == qi[:, None]
-        return jnp.sum(jnp.where(m, arr, 0), axis=1)
-
-    def rowsel(rows, mask):
-        return jnp.sum(jnp.where(mask, rows, 0), axis=1)
-
-    qi0 = jnp.zeros(qlen.shape, jnp.int32)
-    base = qsel(q_base, qi0)
-    p0 = qsel(q_p0, qi0)
-    pend = qsel(q_pend, qi0)
-    nseq = qsel(q_nseq, qi0)
-    bs, nbits, wi, top_bits = buf_init(p0, SEQ_BUF_WORDS)
-    bs, nbits, wi = buf_insert_top(bs, nbits, wi, top_bits, words, base)
-    for _ in range(5):
-        bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
-    pos = p0
-    need_init = nseq > 0
-    zero = jnp.zeros(qlen.shape, jnp.int32)
-    s_ll, s_of, s_ml = zero, zero, zero
-    emitted = zero
-    ok = jnp.ones(qlen.shape, bool)
-
-    def body(carry, _t):
-        (bs, nbits, wi, pos, base, pend, nseq, emitted, qi, need_init,
-         s_ll, s_of, s_ml, ok) = carry
-        out_ll, out_of, out_ml, out_valid = [], [], [], []
-        for _slot in range(SEQ_SLOTS_PER_STEP):
-            for _ in range(3):
-                bs, nbits, wi = buf_refill(bs, nbits, wi, words, base)
-            can_init = need_init & (nbits >= al_sum)
-            # State init: LL, OF, ML (sequence.rs:59-65), masked.
-            n = jnp.where(can_init, ll_al, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            s_ll = jnp.where(can_init, v.astype(jnp.int32), s_ll)
-            n = jnp.where(can_init, of_al, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            s_of = jnp.where(can_init, v.astype(jnp.int32), s_of)
-            n = jnp.where(can_init, ml_al, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            s_ml = jnp.where(can_init, v.astype(jnp.int32), s_ml)
-            need_init = need_init & ~can_init
-
-            active = ~need_init & (emitted < nseq)
-            can = active & (nbits >= SEQ_MAX_BITS) & ~can_init
-
-            m_ll = iota512 == s_ll[:, None]
-            m_of = iota512 == s_of[:, None]
-            m_ml = iota512 == s_ml[:, None]
-            e0_ll = rowsel(ll_p0, m_ll)
-            e1_ll = rowsel(ll_p1, m_ll)
-            e0_of = rowsel(of_p0, m_of)
-            of_code = rowsel(of_p1, m_of)
-            e0_ml = rowsel(ml_p0, m_ml)
-            e1_ml = rowsel(ml_p1, m_ml)
-
-            n = jnp.where(can, of_code, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            ofv = (U32(1) << of_code.astype(U32)) + v
-            n = jnp.where(can, e1_ml & 31, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            ml = (e1_ml >> 5) + v.astype(jnp.int32)
-            n = jnp.where(can, e1_ll & 31, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            ll = (e1_ll >> 5) + v.astype(jnp.int32)
-
-            upd = can & (emitted < nseq - 1)
-            n = jnp.where(upd, e0_ll & 0xFFFF, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            s_ll = jnp.where(upd, (e0_ll >> 16) + v.astype(jnp.int32), s_ll)
-            n = jnp.where(upd, e0_ml & 0xFFFF, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            s_ml = jnp.where(upd, (e0_ml >> 16) + v.astype(jnp.int32), s_ml)
-            n = jnp.where(upd, e0_of & 0xFFFF, 0)
-            v, bs, nbits = buf_take(bs, nbits, n)
-            pos = pos - n
-            s_of = jnp.where(upd, (e0_of >> 16) + v.astype(jnp.int32), s_of)
-
-            emitted = emitted + can.astype(jnp.int32)
-            out_ll.append(jnp.where(can, ll, 0))
-            out_of.append(jnp.where(can, ofv, U32(0)))
-            out_ml.append(jnp.where(can, ml, 0))
-            out_valid.append(can.astype(jnp.int32))
-
-        # Stream switch at step boundary.
-        done = ~need_init & (emitted >= nseq)
-        adv = done & (qi < qlen)
-        ok = ok & (~adv | (pos == pend))
-        qi = qi + adv.astype(jnp.int32)
-        load = adv & (qi < qlen)
-        nbase = qsel(q_base, qi)
-        np0 = qsel(q_p0, qi)
-        nnseq = qsel(q_nseq, qi)
-        base = jnp.where(load, nbase, base)
-        pend = jnp.where(load, qsel(q_pend, qi), pend)
-        nseq = jnp.where(load, nnseq, nseq)
-        emitted = jnp.where(load, 0, emitted)
-        pos = jnp.where(load, np0, pos)
-        need_init = jnp.where(load, nnseq > 0, need_init)
-        nbs, nnbits, nwi, ntop = buf_init(np0, SEQ_BUF_WORDS)
-        nbs, nnbits, nwi = buf_insert_top(nbs, nnbits, nwi, ntop, words, nbase)
-        for _ in range(3):
-            nbs, nnbits, nwi = buf_refill(nbs, nnbits, nwi, words, nbase)
-        bs = tuple(jnp.where(load, nb, b) for nb, b in zip(nbs, bs))
-        nbits = jnp.where(load, nnbits, nbits)
-        wi = jnp.where(load, nwi, wi)
-
-        ys = (
-            jnp.stack(out_ll),
-            jnp.stack(out_of),
-            jnp.stack(out_ml),
-            jnp.stack(out_valid),
-        )
-        carry = (bs, nbits, wi, pos, base, pend, nseq, emitted, qi, need_init,
-                 s_ll, s_of, s_ml, ok)
-        return carry, ys
-
-    carry0 = (bs, nbits, wi, pos, base, pend, nseq, emitted, qi0, need_init,
-              s_ll, s_of, s_ml, ok)
-    carry, (ll, ofv, ml, valid) = jax.lax.scan(
-        body, carry0, jnp.arange(max_steps, dtype=jnp.int32)
-    )
-    qi, ok = carry[8], carry[13]
-    ok = ok & (qi >= qlen)
-    return ll, ofv, ml, valid, ok
-
 
 def _sequences_scan(
     words,

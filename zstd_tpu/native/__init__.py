@@ -5,7 +5,6 @@ Builds ``native/zstd_tpu_native.c`` on first use (plain ``gcc -O2
 
 * ``xxh64(data, seed)``
 * ``execute_sequences(out, out_len, literals, ll, ofv, ml, rep)``
-* ``huffman_decode_stream(stream, lut, index_bits, regen)``
 
 All are optional accelerations: every caller has a pure-Python/NumPy
 fallback, and the native results are covered by the same differential
@@ -125,15 +124,6 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_size_t,  # n
             ctypes.c_void_p,  # rep uint64[3]
             ctypes.c_void_p,  # off_out int64*
-        ]
-        lib.zt_huffman_decode_stream.restype = ctypes.c_int
-        lib.zt_huffman_decode_stream.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.c_void_p,
-            ctypes.c_int,
-            ctypes.c_void_p,
-            ctypes.c_size_t,
         ]
         lib.zt_fse_parse_build.restype = ctypes.c_int
         lib.zt_fse_parse_build.argtypes = [
@@ -464,22 +454,6 @@ def _offsets_to_values_np(lls, offs, rep):
         elif idx >= 2:
             r[0], r[1], r[2] = o, r[0], r[1]
         out[i] = v
-    return out
-
-
-def huffman_decode_stream(
-    stream: bytes, lut: np.ndarray, index_bits: int, regen: int
-) -> np.ndarray:
-    lib = _load()
-    if lib is None:
-        raise NativeUnavailable("native library not built")
-    lut = np.ascontiguousarray(lut, dtype=np.int16)
-    out = np.empty(regen, dtype=np.uint8)
-    status = lib.zt_huffman_decode_stream(
-        bytes(stream), len(stream), lut.ctypes.data, index_bits, out.ctypes.data, regen
-    )
-    if status != 0:
-        raise ValueError(f"huffman stream decode failed (status {status})")
     return out
 
 

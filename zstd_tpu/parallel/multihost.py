@@ -78,16 +78,12 @@ class MultihostEngine(DeviceEngine):
         return self._run_literals(plan), self._run_sequences(plan)
 
     def _run_literals(self, plan):
-        if self.queue_kernels:
-            raise NotImplementedError("queue kernels are single-process")
         bins = shard_lanes_balanced(plan.lit_regen, self.nproc)
         outs, ok = self._run_literals_wide(plan, subset=bins[self.pid])
         self._exchange_literals(plan, bins, outs, ok)
         return outs, ok
 
     def _run_sequences(self, plan):
-        if self.queue_kernels:
-            raise NotImplementedError("queue kernels are single-process")
         bins = shard_lanes_balanced(plan.seq_nseq, self.nproc)
         outs, ok = self._run_sequences_wide(plan, subset=bins[self.pid])
         self._exchange_sequences(plan, bins, outs, ok)

@@ -6,9 +6,11 @@ Pipeline (SURVEY.md §7):
 1. ``build_batch_plan`` parses everything and lays each entropy stream
    out as a kernel lane.
 2. Lanes are grouped into a few pow2-step calls (``_tier_split``); ALL
-   calls of BOTH phases dispatch asynchronously, then one batched
-   device_get fetches every output (the relay fetch is the end-to-end
-   bottleneck).
+   calls of BOTH phases dispatch asynchronously, then each call's
+   output streams back in dispatch order on a 2-worker fetch pool so
+   the relay transfer (the end-to-end bottleneck) overlaps both device
+   compute and host finish work (``_fetch_stream``; ``measure_phases``
+   uses a barrier + one batched ``_fetch_tree`` instead).
 3. ``decode_literals_dense`` / ``decode_sequences_dense``
    (kernels/entropy2) run wide on the device and compact their outputs
    on-device (never-stall prefix invariant) so the fetch moves only
@@ -114,7 +116,6 @@ class DeviceEngine:
         max_window_size: int = MAX_WINDOW_SIZE,
         device=None,
         device_execute: bool = False,
-        queue_kernels: bool = False,
         use_pallas: bool | None = None,
         mesh=None,
     ):
@@ -126,11 +127,6 @@ class DeviceEngine:
         # Pure-device LZ77 execution (kernels/lz77_device.py) instead of
         # the native C executor — see that module for the tradeoff.
         self.device_execute = device_execute
-        # Work-conserving queue kernels (one call per phase) vs wide
-        # per-stream dispatch.  Wide dispatch measures faster (per-step
-        # cost is nearly lane-count-flat); queues win only when streams
-        # >> lanes with tiny per-stream work (see BASELINE.md).
-        self.queue_kernels = queue_kernels
         # Mosaic (Pallas) literals kernel: measured 2.4-3.9x faster per
         # step than the lax.scan form on v5e (tools/pallas_spike.py,
         # BASELINE.md "Pallas spike").  None = auto: on for TPU
@@ -206,6 +202,10 @@ class DeviceEngine:
             self._fetch_pool.submit(lambda h=h: np.asarray(jax.device_get(h)))
             for h in handles
         ]
+        # Tracked so an abandoned generator (worker exception → oracle
+        # fallback) can be drained: a stale in-flight fetch would
+        # otherwise occupy both workers into the next decompress.
+        self._fetch_futs = futs
 
         def gen():
             for f in futs:
@@ -214,6 +214,24 @@ class DeviceEngine:
                 yield a
 
         return gen()
+
+    def _drain_fetches(self) -> None:
+        """Cancel queued fetch futures and wait out running ones, so a
+        fallback path leaves the pool idle for the next decompress."""
+        for f in getattr(self, "_fetch_futs", ()):
+            if not f.cancel():
+                try:
+                    f.result()
+                except Exception:
+                    pass
+        self._fetch_futs = []
+
+    def close(self) -> None:
+        """Release the fetch thread pool (idempotent)."""
+        pool = getattr(self, "_fetch_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+            self._fetch_pool = None
 
     def _plan_dev(self, plan) -> dict:
         """Per-plan device residents, uploaded once per decompress: the
@@ -301,27 +319,23 @@ class DeviceEngine:
     # -- kernel dispatch ----------------------------------------------------
 
     def _run_literals(self, plan: BatchPlan):
-        if self.queue_kernels:
-            return self._run_literals_queued(plan)
         return self._run_literals_wide(plan)
 
     def _run_sequences(self, plan: BatchPlan):
-        if self.queue_kernels:
-            return self._run_sequences_queued(plan)
         return self._run_sequences_wide(plan)
 
     def _run_both(self, plan: BatchPlan):
         """Dispatch BOTH phases' kernel calls before fetching anything,
-        then materialize every output in one batched device_get.
-
-        The relay fetch is the end-to-end bottleneck (BASELINE.md), so
-        one batched round-trip — overlapping all remaining device
-        compute — beats per-phase, per-call fetches.  Subclasses with
-        their own phase plumbing (parallel/multihost.py) override this
-        to the sequential form.
+        then stream each call's output back in dispatch order on a
+        2-worker fetch pool (``_fetch_stream``): the relay transfer of
+        call k overlaps the device compute of later calls and the host
+        finish work on earlier ones.  In ``measure_phases`` mode the
+        streaming is replaced by a block_until_ready barrier plus one
+        batched ``_fetch_tree`` so the dispatch / device-compute /
+        fetch phase split is observable.  Subclasses with their own
+        phase plumbing (parallel/multihost.py) override this to the
+        sequential per-phase form.
         """
-        if self.queue_kernels:
-            return self._run_literals(plan), self._run_sequences(plan)
         if self.measure_phases:
             import time
 
@@ -490,7 +504,9 @@ class DeviceEngine:
     def _dispatch_sequences(self, plan: BatchPlan, subset=None):
         """Dispatch the dense sequences kernel; step counts are exact
         (never-stall invariant, kernels/entropy2.py) and the fetch is
-        8 B per real sequence.  The Mosaic form (kernels/pallas_seq.py,
+        bit-packed — w_ll+w_ml+w_of (~31) bits per real sequence
+        (``_seq_pack_meta`` / ``_pack_triples``).  The Mosaic form
+        (kernels/pallas_seq.py,
         2.8x faster per step) runs when the per-lane window fits VMEM;
         oversized tiers fall back to the lax.scan form.  Returns
         (outs, ok, pending)."""
@@ -632,6 +648,7 @@ class DeviceEngine:
         # overflow also lands in the ok flag, so every not-ok lane
         # re-decodes on the wide path.
         wb = plan.fse_wbits
+        one = np.uint64(1)
         for idx, cumw, _handles_ in pending:
             arr = next(fetched)
             n_dense_w = arr.size - (len(cumw) - 1)
@@ -639,28 +656,50 @@ class DeviceEngine:
                 [arr[:n_dense_w], np.zeros(2, np.uint32)]
             ).astype(np.uint64)
             lane_ok = arr[n_dense_w:].astype(bool)
-            one = np.uint64(1)
+            ok[idx] = lane_ok[: len(idx)]
+            # One vectorized unpack across ALL lanes of the call: each
+            # sequence's 64-bit window is addressed by its global bit
+            # position (lane word base 32*cumw[j] + i*w_j); bits above
+            # its own w_j are masked, so cross-lane word reads at lane
+            # boundaries are harmless (same as the per-lane slicing
+            # this replaces — the pack is word-aligned per lane).
+            ns = plan.seq_nseq[idx].astype(np.int64)
+            tot = int(ns.sum())
+            if tot == 0:
+                for lane in idx:
+                    outs[lane] = (
+                        np.empty(0, np.int32),
+                        np.empty(0, np.uint32),
+                        np.empty(0, np.int32),
+                    )
+                continue
+            w_ll = wb[plan.seq_ll_slot[idx]].astype(np.int64)
+            w_ml = wb[plan.seq_ml_slot[idx]].astype(np.int64)
+            w_of = np.minimum(
+                wb[plan.seq_of_slot[idx]].astype(np.int64), 63 - w_ll - w_ml
+            )
+            w = w_ll + w_ml + w_of
+            starts = np.zeros(len(idx) + 1, dtype=np.int64)
+            np.cumsum(ns, out=starts[1:])
+            lane_rep = np.repeat(np.arange(len(idx)), ns)
+            i_local = np.arange(tot, dtype=np.int64) - starts[lane_rep]
+            gpos = 32 * cumw[:-1].astype(np.int64)[lane_rep] + i_local * w[lane_rep]
+            wi = gpos >> 5
+            sh = (gpos & 31).astype(np.uint64)
+            v = (packed[wi] >> sh) | (packed[wi + 1] << (np.uint64(32) - sh))
+            v |= np.where(sh > 0, packed[wi + 2], 0) << np.where(
+                sh > 0, np.uint64(64) - sh, np.uint64(0)
+            )
+            wr = w[lane_rep].astype(np.uint64)
+            v &= (one << wr) - one
+            wllr = w_ll[lane_rep].astype(np.uint64)
+            wmlr = w_ml[lane_rep].astype(np.uint64)
+            vll = (v & ((one << wllr) - one)).astype(np.int32)
+            vof = (v >> (wllr + wmlr)).astype(np.uint32)
+            vml = ((v >> wllr) & ((one << wmlr) - one)).astype(np.int32)
             for j, lane in enumerate(idx):
-                ns = int(plan.seq_nseq[lane])
-                w_ll = int(wb[plan.seq_ll_slot[lane]])
-                w_ml = int(wb[plan.seq_ml_slot[lane]])
-                w_of = min(int(wb[plan.seq_of_slot[lane]]), 63 - w_ll - w_ml)
-                w = w_ll + w_ml + w_of
-                words = packed[int(cumw[j]) : int(cumw[j + 1]) + 2]
-                pos = np.arange(ns, dtype=np.int64) * w
-                wi = pos >> 5
-                sh = (pos & 31).astype(np.uint64)
-                v = (words[wi] >> sh) | (words[wi + 1] << (np.uint64(32) - sh))
-                v |= np.where(sh > 0, words[wi + 2], 0) << np.where(
-                    sh > 0, np.uint64(64) - sh, np.uint64(0)
-                )
-                v &= (one << np.uint64(w)) - one
-                outs[lane] = (
-                    (v & ((one << np.uint64(w_ll)) - one)).astype(np.int32),
-                    ((v >> np.uint64(w_ll + w_ml))).astype(np.uint32),
-                    ((v >> np.uint64(w_ll)) & ((one << np.uint64(w_ml)) - one)).astype(np.int32),
-                )
-                ok[lane] = bool(lane_ok[j])
+                s, e = starts[j], starts[j + 1]
+                outs[lane] = (vll[s:e], vof[s:e], vml[s:e])
 
     def _retry_sequences(self, plan: BatchPlan, outs, ok) -> None:
         """Re-decode packed-range-overflow lanes (offset code >= 31, or
@@ -694,132 +733,6 @@ class DeviceEngine:
             lls = vll[j][mask][:ns]
             outs[lane] = (lls, ofv[j][mask][:ns], vml[j][mask][:ns])
             ok[lane] = lane_ok[j] and len(lls) == ns
-
-    def _run_literals_queued(self, plan: BatchPlan):
-        """Decode all literal streams in ONE queue-kernel call.
-
-        Streams are grouped by Huffman table and packed into balanced
-        per-lane queues (runtime/schedule.py); output attribution is
-        positional (each stream occupies ceil(regen/32) steps of its
-        lane's column).
-        """
-        import jax.numpy as jnp
-
-        from ..kernels.entropy2 import LIT_SYMS_PER_STEP, decode_literals_q
-        from .schedule import pack_literal_queues
-
-        n = plan.n_lit_lanes
-        outs: list[np.ndarray | None] = [None] * n
-        ok = np.ones(n, dtype=bool)
-        if n == 0:
-            return outs, ok
-
-        qp = pack_literal_queues(plan)
-        rep = qp.lane_rep
-        slots = plan.lit_slot[rep]
-        steps = _next_pow2(qp.max_steps, lo=4)
-        ys, lane_ok = decode_literals_q(
-            jnp.asarray(plan.words),
-            jnp.asarray(qp.q_base),
-            jnp.asarray(qp.q_p0),
-            jnp.asarray(qp.q_pend),
-            jnp.asarray(qp.q_count),
-            jnp.asarray(qp.qlen),
-            jnp.asarray(plan.huff_limits[slots]),
-            jnp.asarray(plan.huff_prevs[slots]),
-            jnp.asarray(plan.huff_lengths[slots]),
-            jnp.asarray(plan.huff_rankb[slots]),
-            jnp.asarray(plan.huff_ranked[slots]),
-            max_steps=steps,
-        )
-        self.stats.kernel_calls += 1
-        arr = np.asarray(ys)  # (steps, 8, L) uint32
-        lane_ok = np.asarray(lane_ok)
-        flat_q = (
-            np.ascontiguousarray(arr.transpose(2, 0, 1))
-            .reshape(arr.shape[2], -1)
-            .view(np.uint8)
-        )
-        # Positional attribution: stream k of a lane starts after its
-        # predecessors' max(ceil(regen/32), 1) steps.
-        for s, (lane, k) in qp.placement.items():
-            off = 0
-            for j in range(k):
-                prev = int(qp.q_count[lane, j])
-                off += max(-(-prev // LIT_SYMS_PER_STEP), 1)
-            regen = plan.lit_regen[s]
-            outs[s] = flat_q[
-                lane, off * LIT_SYMS_PER_STEP : off * LIT_SYMS_PER_STEP + regen
-            ]
-            ok[s] = lane_ok[lane]
-        return outs, ok
-
-    def _run_sequences_queued(self, plan: BatchPlan):
-        """Decode all sequence streams in ONE queue-kernel call.
-
-        Streams are grouped by (LL, OF, ML) table triple; each lane's
-        valid slots, in order, are its streams' sequences concatenated —
-        split by sequence counts.
-        """
-        import jax.numpy as jnp
-
-        from ..kernels.entropy2 import decode_sequences_q
-        from .schedule import pack_seq_queues
-
-        n = plan.n_seq_lanes
-        outs: list[tuple | None] = [None] * n
-        ok = np.ones(n, dtype=bool)
-        if n == 0:
-            return outs, ok
-
-        qp = pack_seq_queues(plan)
-        rep = qp.lane_rep
-        ll_s = plan.seq_ll_slot[rep]
-        of_s = plan.seq_of_slot[rep]
-        ml_s = plan.seq_ml_slot[rep]
-        steps = _next_pow2(qp.max_steps, lo=2)
-        ll, ofv, ml, valid, lane_ok = decode_sequences_q(
-            jnp.asarray(plan.words),
-            jnp.asarray(qp.q_base),
-            jnp.asarray(qp.q_p0),
-            jnp.asarray(qp.q_pend),
-            jnp.asarray(qp.q_count),
-            jnp.asarray(qp.qlen),
-            *map(jnp.asarray, plan.fse_rows(ll_s)),
-            *map(jnp.asarray, plan.fse_rows(of_s)),
-            *map(jnp.asarray, plan.fse_rows(ml_s)),
-            jnp.asarray(plan.seq_ll_al[rep]),
-            jnp.asarray(plan.seq_of_al[rep]),
-            jnp.asarray(plan.seq_ml_al[rep]),
-            max_steps=steps,
-        )
-        self.stats.kernel_calls += 1
-
-        to_flat = lambda a: np.ascontiguousarray(  # noqa: E731
-            np.asarray(a).transpose(2, 0, 1)
-        ).reshape(np.asarray(a).shape[2], -1)
-        vll, vof, vml, vva = map(to_flat, (ll, ofv, ml, valid))
-        lane_ok = np.asarray(lane_ok)
-
-        lane_cache: dict[int, tuple] = {}
-        for s, (lane, k) in qp.placement.items():
-            if lane not in lane_cache:
-                mask = vva[lane].astype(bool)
-                lane_cache[lane] = (
-                    vll[lane][mask],
-                    vof[lane][mask],
-                    vml[lane][mask],
-                )
-            clls, cofs, cmls = lane_cache[lane]
-            start = int(qp.q_count[lane, :k].sum())
-            ns = int(qp.q_count[lane, k])
-            outs[s] = (
-                clls[start : start + ns],
-                cofs[start : start + ns],
-                cmls[start : start + ns],
-            )
-            ok[s] = lane_ok[lane] and len(outs[s][0]) == ns
-        return outs, ok
 
     # -- assembly -----------------------------------------------------------
 
@@ -1010,6 +923,7 @@ class DeviceEngine:
             # the host oracle, never escape to the caller.
             _log.warning("kernel phase failed, falling back to oracle: %r", e)
             stats.fallback_reasons.append(f"kernel phase: {e!r}")
+            self._drain_fetches()
             lit_outs = [None] * plan.n_lit_lanes
             seq_outs = [None] * plan.n_seq_lanes
             lit_ok = np.zeros(plan.n_lit_lanes, dtype=bool)
