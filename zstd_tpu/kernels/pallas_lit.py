@@ -212,7 +212,7 @@ def decode_literals_pallas(
 MAX_W = 8192  # (W, 128) u32 window = 4 MB VMEM at this cap
 
 
-@partial(jax.jit, static_argnames=("max_steps", "n_dense", "W"))
+@partial(jax.jit, static_argnames=("max_steps", "n_dense", "W", "interpret"))
 def decode_literals_dense_pl(
     words,  # uint32[Wtot] flat stream buffer (plan-resident)
     base,  # int32[L]   L a multiple of 128
@@ -230,6 +230,7 @@ def decode_literals_dense_pl(
     max_steps: int,
     n_dense: int,
     W: int,
+    interpret: bool = False,
 ):
     """Pallas production path, same contract as decode_literals_dense:
     one packed uint32[n_dense + L] array (dense words ‖ ok flags).
@@ -283,6 +284,7 @@ def decode_literals_dense_pl(
             vspec(256),
         ],
         out_specs=(vspec(max_steps * 8), vspec(1)),
+        interpret=interpret,
     )(
         win, p0[None, :], pend[None, :], regen[None, :],
         limits, prevs, lengths, rankb, ranked,

@@ -330,7 +330,9 @@ MAX_W = 16384  # (W, 128) u32 window = 8 MB VMEM at this cap
 
 @partial(
     jax.jit,
-    static_argnames=("max_steps", "n_dense_w", "J", "W", "R_ll", "R_of", "R_ml"),
+    static_argnames=(
+        "max_steps", "n_dense_w", "J", "W", "R_ll", "R_of", "R_ml", "interpret"
+    ),
 )
 def decode_sequences_dense_pl(
     words,  # uint32[Wtot] raw input words (plan-resident)
@@ -359,6 +361,7 @@ def decode_sequences_dense_pl(
     R_ll: int,
     R_of: int,
     R_ml: int,
+    interpret: bool = False,
 ):
     """Pallas production path, same packed single-array contract as
     decode_sequences_dense: uint32[n_dense_w + L] = bit-packed ‖ ok.
@@ -424,6 +427,7 @@ def decode_sequences_dense_pl(
             pltpu.VMEM((8, LANES), jnp.uint32),
             pltpu.VMEM((16, LANES), jnp.int32),
         ],
+        interpret=interpret,
     )(
         p0[None, :],
         pend[None, :],

@@ -133,6 +133,10 @@ class DeviceEngine:
         # backends without a mesh (pallas_call under GSPMD needs
         # shard_map plumbing the mesh path doesn't have yet).
         self.use_pallas = use_pallas
+        # Run the Mosaic kernels in Pallas interpret mode (plain XLA
+        # ops, any backend) — lets the CPU test suite drive the exact
+        # production kernel bodies differentially (tests/test_pallas.py).
+        self.pallas_interpret = False
         # Optional jax.sharding.Mesh with a pow2 device count <= 128:
         # lane arrays are sharded over its "lanes" axis and the same v2
         # kernels run GSPMD — the single-chip and sharded paths share
@@ -480,7 +484,7 @@ class DeviceEngine:
         n_dense = _dense_pad(int(cum[-1]))
         dev = self._plan_dev(plan)
         kernel = decode_literals_dense_pl if use_pl else decode_literals_dense
-        kw = {"W": W} if use_pl else {}
+        kw = {"W": W, "interpret": self.pallas_interpret} if use_pl else {}
         handles = kernel(
             dev["words"],
             lane(plan.lit_base[sel]),
@@ -621,6 +625,7 @@ class DeviceEngine:
             R_ll=_next_pow2(1 << int(plan.seq_ll_al[sel].max()), lo=8),
             R_of=_next_pow2(1 << int(plan.seq_of_al[sel].max()), lo=8),
             R_ml=_next_pow2(1 << int(plan.seq_ml_al[sel].max()), lo=8),
+            interpret=self.pallas_interpret,
         )
         self.stats.kernel_calls += 1
         pending.append((idx, cumw, handles))
