@@ -64,15 +64,10 @@ def main(mb: float = 8.0) -> None:
     )
 
     j = jnp.asarray
+    lane_mat = eng._seq_lane_mat(plan, sel, nseq, w_ll, w_ml, w_of)
     args = (
-        j(plan.words), j(plan.seq_base[sel]), j(plan.seq_p0[sel]),
-        j(plan.seq_pend[sel]), j(nseq), j(cumw),
-        j(w_ll), j(w_ml), j(w_of),
-        j(plan.seq_ll_slot[sel]), j(plan.seq_of_slot[sel]),
-        j(plan.seq_ml_slot[sel]),
+        j(plan.words), j(lane_mat), j(cumw),
         j(plan.fse_flat0), j(plan.fse_flat1), j(plan.fse_off),
-        j(plan.seq_ll_al[sel]), j(plan.seq_of_al[sel]),
-        j(plan.seq_ml_al[sel]),
     )
     kw = dict(max_steps=steps, n_dense_w=n_dense_w, J=J)
 

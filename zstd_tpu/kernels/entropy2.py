@@ -254,15 +254,16 @@ def decode_literals_v2(
     )
 
 
+LIT_LANE_COLS = 5  # lane_mat columns: base, p0, pend, regen, slot
+
+
 @partial(jax.jit, static_argnames=("max_steps", "n_dense"))
 def decode_literals_dense(
     words,
-    base,
-    p0,
-    pend,
-    regen,
+    lane_mat,  # int32[L, 5] stacked per-lane columns (LIT_LANE_COLS):
+    #            base word, p0 sentinel bitpos, pend end bitpos, regen,
+    #            Huffman table slot — ONE upload per call instead of 5
     cum,  # int32[L + 1] word-count prefix sums (ceil(regen / 4))
-    slots,  # int32[L] Huffman table index per lane
     b_limits,  # int32[T, 12] table BANKS, uploaded once per plan —
     b_prevs,  # per-lane rows are gathered here on-device instead of
     b_lengths,  # being host-gathered and re-uploaded per call
@@ -277,6 +278,7 @@ def decode_literals_dense(
     ok bool[L]).  The fetch then moves only real symbols, not the
     (steps, lanes) padding — the relay fetch is the end-to-end
     bottleneck (BASELINE.md)."""
+    base, p0, pend, regen, slots = (lane_mat[:, c] for c in range(LIT_LANE_COLS))
     row = lambda b: jnp.take(b, slots, axis=0)  # noqa: E731
     ys, ok = _literals_scan(
         words, base, p0, pend, regen,
@@ -457,26 +459,20 @@ def decode_sequences_v2(
     )
 
 
+SEQ_LANE_COLS = 13  # lane_mat columns: base, p0, pend, nseq, w_ll,
+#                     w_ml, w_of, ll_slot, of_slot, ml_slot, ll_al,
+#                     of_al, ml_al
+
+
 @partial(jax.jit, static_argnames=("max_steps", "n_dense_w", "J"))
 def decode_sequences_dense(
     words,
-    base,
-    p0,
-    pend,
-    nseq,
+    lane_mat,  # int32[L, 13] stacked per-lane columns (SEQ_LANE_COLS)
+    #            — ONE upload per call instead of 13
     cumw,  # int32[L + 1] prefix sums of per-lane packed word counts
-    w_ll,  # int32[L] per-lane packed field widths (table-bounded)
-    w_ml,
-    w_of,
-    ll_slot,  # int32[L] FSE table-bank indices per lane
-    of_slot,
-    ml_slot,
     bank_flat0,  # int32[N] flat variable-size FSE table BANK planes,
     bank_flat1,  # uploaded once per plan (slot i = rows off[i]..off[i]+2^al)
     bank_off,  # int32[S] first row of each slot
-    ll_al,
-    of_al,
-    ml_al,
     *,
     max_steps: int,
     n_dense_w: int,
@@ -491,6 +487,10 @@ def decode_sequences_dense(
     lane ok flags.  The fetch moves ~w bits per real sequence (the
     per-lane table-bounded width, ~31 on the bench corpus) instead of
     the 8 B da‖db planes."""
+    (
+        base, p0, pend, nseq, w_ll, w_ml, w_of,
+        ll_slot, of_slot, ml_slot, ll_al, of_al, ml_al,
+    ) = (lane_mat[:, c] for c in range(SEQ_LANE_COLS))
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
 
     def rows(flat, slot):

@@ -215,12 +215,10 @@ MAX_W = 8192  # (W, 128) u32 window = 4 MB VMEM at this cap
 @partial(jax.jit, static_argnames=("max_steps", "n_dense", "W", "interpret"))
 def decode_literals_dense_pl(
     words,  # uint32[Wtot] flat stream buffer (plan-resident)
-    base,  # int32[L]   L a multiple of 128
-    p0,  # int32[L]
-    pend,  # int32[L]  end bit position (byte misalignment)
-    regen,  # int32[L]
+    lane_mat,  # int32[L, 5] stacked per-lane columns (base, p0, pend,
+    #            regen, slot — entropy2.LIT_LANE_COLS); L a multiple
+    #            of 128
     cum,  # int32[L + 1] word-count prefix sums (ceil(regen / 4))
-    slots,  # int32[L] Huffman table-bank indices
     b_limits,  # int32[T, 12] table banks (see decode_literals_dense)
     b_prevs,
     b_lengths,
@@ -240,10 +238,13 @@ def decode_literals_dense_pl(
     cheap there); the serial decode loop runs as the Mosaic kernel,
     one grid program per 128-lane block; compaction is XLA again.
     """
-    from .entropy2 import _compact
+    from .entropy2 import LIT_LANE_COLS, _compact
 
-    L = base.shape[0]
+    L = lane_mat.shape[0]
     assert L % LANES == 0, L
+    base, p0, pend, regen, slots = (
+        lane_mat[:, c] for c in range(LIT_LANE_COLS)
+    )
     wr = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
     win = jnp.take(words, jnp.clip(base[None, :] + wr, 0, words.shape[0] - 1))
 

@@ -336,23 +336,12 @@ MAX_W = 16384  # (W, 128) u32 window = 8 MB VMEM at this cap
 )
 def decode_sequences_dense_pl(
     words,  # uint32[Wtot] raw input words (plan-resident)
-    base,  # int32[L]   L a multiple of 128
-    p0,  # int32[L]
-    pend,  # int32[L]
-    nseq,  # int32[L]
+    lane_mat,  # int32[L, 13] stacked per-lane columns
+    #            (entropy2.SEQ_LANE_COLS); L a multiple of 128
     cumw,  # int32[L + 1] prefix sums of per-lane packed word counts
-    w_ll,  # int32[L] per-lane packed field widths (table-bounded)
-    w_ml,
-    w_of,
-    ll_slot,  # int32[L] flat-bank slot indices
-    of_slot,
-    ml_slot,
     bank_flat0,  # int32[N] flat FSE bank planes (see decode_sequences_dense)
     bank_flat1,
     bank_off,  # int32[S]
-    ll_al,  # int32[L]
-    of_al,
-    ml_al,
     *,
     max_steps: int,
     n_dense_w: int,
@@ -369,10 +358,14 @@ def decode_sequences_dense_pl(
     The (W, L) window build and bank-row gathers run as XLA ops in the
     same jit; the serial decode loop is the Mosaic kernel; bit-packing
     compaction (entropy2._pack_triples) is XLA again."""
-    from .entropy2 import _pack_triples
+    from .entropy2 import SEQ_LANE_COLS, _pack_triples
 
-    L = base.shape[0]
+    L = lane_mat.shape[0]
     assert L % LANES == 0 and W % L1_GROUP == 0, (L, W)
+    (
+        base, p0, pend, nseq, w_ll, w_ml, w_of,
+        ll_slot, of_slot, ml_slot, ll_al, of_al, ml_al,
+    ) = (lane_mat[:, c] for c in range(SEQ_LANE_COLS))
     wr = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
     win = jnp.take(words, jnp.clip(base[None, :] + wr, 0, words.shape[0] - 1))
     win3 = win.reshape(W // L1_GROUP, L1_GROUP, L)

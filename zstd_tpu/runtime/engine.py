@@ -149,6 +149,7 @@ class DeviceEngine:
         # overlapping residual device compute, so leave it off in
         # production paths.
         self.measure_phases = False
+        self._upload_track: list = []
         self.stats = EngineStats()
 
     # -- array placement (mesh-aware; multihost overrides in parallel/) -----
@@ -160,6 +161,8 @@ class DeviceEngine:
 
         x = jnp.asarray(a)
         self.stats.upload_bytes += int(x.nbytes)
+        if self.measure_phases:
+            self._upload_track.append(x)
         if self.mesh is None:
             return x
         import jax
@@ -310,6 +313,28 @@ class DeviceEngine:
         J = 1 + -(-32 // int(wsum.min()))
         return w_ll, w_ml, w_of, cumw, n_dense_w, J
 
+    def _seq_lane_mat(self, plan, sel, nseq, w_ll, w_ml, w_of) -> np.ndarray:
+        """Stacked (L, 13) per-lane columns (entropy2.SEQ_LANE_COLS) —
+        one upload per call instead of 13 small arrays."""
+        return np.stack(
+            [
+                plan.seq_base[sel],
+                plan.seq_p0[sel],
+                plan.seq_pend[sel],
+                nseq,
+                w_ll,
+                w_ml,
+                w_of,
+                plan.seq_ll_slot[sel],
+                plan.seq_of_slot[sel],
+                plan.seq_ml_slot[sel],
+                plan.seq_ll_al[sel],
+                plan.seq_of_al[sel],
+                plan.seq_ml_al[sel],
+            ],
+            axis=1,
+        ).astype(np.int32)
+
     def _pallas_lits(self) -> bool:
         """Resolve the Pallas-literals choice (see __init__)."""
         if self.use_pallas is not None:
@@ -350,12 +375,23 @@ class DeviceEngine:
             seq_outs, seq_ok, sp = self._dispatch_sequences(plan)
             handles = _handles(lp) + _handles(sp)
             t1 = time.perf_counter()
+            # Block on the INPUT uploads first, then on the kernel
+            # outputs: splits the old "device_compute" into the relay
+            # upload tail (the H2D transfer is an environmental cost
+            # this split makes visible — BASELINE.md) and the residual
+            # device compute.  Kernels overlap late uploads, so the
+            # residual is a lower bound on pure compute, and
+            # upload_wait correspondingly an upper bound on the
+            # transfer share.
+            jax.block_until_ready(self._upload_track)
+            tu = time.perf_counter()
             jax.block_until_ready(handles)
             t2 = time.perf_counter()
             it = iter(self._fetch_tree(handles))
             t3 = time.perf_counter()
             self.stats.wall_s["dispatch"] = t1 - t0
-            self.stats.wall_s["device_compute"] = t2 - t1
+            self.stats.wall_s["upload_wait"] = tu - t1
+            self.stats.wall_s["device_compute"] = t2 - tu
             self.stats.wall_s["fetch"] = t3 - t2
         else:
             lit_outs, lit_ok, lp = self._dispatch_literals(plan)
@@ -485,14 +521,20 @@ class DeviceEngine:
         dev = self._plan_dev(plan)
         kernel = decode_literals_dense_pl if use_pl else decode_literals_dense
         kw = {"W": W, "interpret": self.pallas_interpret} if use_pl else {}
+        lane_mat = np.stack(
+            [
+                plan.lit_base[sel],
+                plan.lit_p0[sel],
+                plan.lit_pend[sel],
+                regen,
+                plan.lit_slot[sel],
+            ],
+            axis=1,
+        ).astype(np.int32)
         handles = kernel(
             dev["words"],
-            lane(plan.lit_base[sel]),
-            lane(plan.lit_p0[sel]),
-            lane(plan.lit_pend[sel]),
-            lane(regen),
+            lane(lane_mat),
             self._put(cum, lane=False),
-            lane(plan.lit_slot[sel]),
             dev["limits"],
             dev["prevs"],
             dev["lengths"],
@@ -556,23 +598,11 @@ class DeviceEngine:
             dev = self._plan_dev(plan)
             handles = decode_sequences_dense(
                 dev["words"],
-                lane(plan.seq_base[sel]),
-                lane(plan.seq_p0[sel]),
-                lane(plan.seq_pend[sel]),
-                lane(nseq),
+                lane(self._seq_lane_mat(plan, sel, nseq, w_ll, w_ml, w_of)),
                 self._put(cumw, lane=False),
-                lane(w_ll),
-                lane(w_ml),
-                lane(w_of),
-                lane(plan.seq_ll_slot[sel]),
-                lane(plan.seq_of_slot[sel]),
-                lane(plan.seq_ml_slot[sel]),
                 dev["fse_flat0"],
                 dev["fse_flat1"],
                 dev["fse_off"],
-                lane(plan.seq_ll_al[sel]),
-                lane(plan.seq_of_al[sel]),
-                lane(plan.seq_ml_al[sel]),
                 max_steps=steps,
                 n_dense_w=n_dense_w,
                 J=J,
@@ -601,23 +631,11 @@ class DeviceEngine:
         lane = lambda a: self._put(a, lane=True)  # noqa: E731
         handles = decode_sequences_dense_pl(
             dev["words"],
-            lane(plan.seq_base[sel]),
-            lane(plan.seq_p0[sel]),
-            lane(plan.seq_pend[sel]),
-            lane(nseq),
+            lane(self._seq_lane_mat(plan, sel, nseq, w_ll, w_ml, w_of)),
             self._put(cumw, lane=False),
-            lane(w_ll),
-            lane(w_ml),
-            lane(w_of),
-            lane(plan.seq_ll_slot[sel]),
-            lane(plan.seq_of_slot[sel]),
-            lane(plan.seq_ml_slot[sel]),
             dev["fse_flat0"],
             dev["fse_flat1"],
             dev["fse_off"],
-            lane(plan.seq_ll_al[sel]),
-            lane(plan.seq_of_al[sel]),
-            lane(plan.seq_ml_al[sel]),
             max_steps=steps,
             n_dense_w=n_dense_w,
             J=J,
@@ -908,6 +926,7 @@ class DeviceEngine:
 
         stats = self.stats = EngineStats()
         stats.bytes_in = len(data)
+        self._upload_track = []
 
         t0 = time.perf_counter()
         # Absolute indexing makes the raw input the kernels' words
