@@ -53,14 +53,14 @@ def main(mb: float = 8.0) -> None:
         np.int32
     )
     steps = _next_pow2(int(-(-nseq.max() // SEQ_SLOTS_PER_STEP)), lo=2)
-    w_ll, w_ml, w_of, cumw, n_dense_w, J = eng._seq_pack_meta(plan, sel, nseq)
+    w_ll, w_ml, w_of, cumw, n_dense_w = eng._seq_pack_meta(plan, sel, nseq)
     W = _next_pow2(int((plan.seq_p0[sel] >> 5).max()) + 1, lo=64)
     R_ll = _next_pow2(1 << int(plan.seq_ll_al[sel].max()), lo=8)
     R_of = _next_pow2(1 << int(plan.seq_of_al[sel].max()), lo=8)
     R_ml = _next_pow2(1 << int(plan.seq_ml_al[sel].max()), lo=8)
     print(
         f"lanes={n_real} steps={steps} W={W} R=({R_ll},{R_of},{R_ml}) "
-        f"n_dense_w={n_dense_w} J={J} total_seqs={int(nseq.sum())}"
+        f"n_dense_w={n_dense_w} total_seqs={int(nseq.sum())}"
     )
 
     j = jnp.asarray
@@ -69,7 +69,7 @@ def main(mb: float = 8.0) -> None:
         j(plan.words), j(lane_mat), j(cumw),
         j(plan.fse_flat0), j(plan.fse_flat1), j(plan.fse_off),
     )
-    kw = dict(max_steps=steps, n_dense_w=n_dense_w, J=J)
+    kw = dict(max_steps=steps, n_dense_w=n_dense_w)
 
     def run_scan():
         return decode_sequences_dense(*args, **kw)

@@ -95,24 +95,28 @@ def _shr32(v, n):
     return jnp.where(n >= 32, U32(0), v >> (n & U32(31)))
 
 
-def _pack_triples(pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w: int, J: int):
-    """Bit-pack sequence triples into per-lane LSB-first bitstreams and
-    compact them into ONE dense u32 array.
+def _pack_triples(pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w: int):
+    """Pack sequence triples word-granularly and compact them into ONE
+    dense u32 array.
 
-    Each lane's stream packs ``v = ll | ml << w_ll | ofv << (w_ll+w_ml)``
-    per sequence at a per-lane static width ``w = w_ll + w_ml + w_of``
-    (TABLE-BOUNDED: block_table._FseBank.wbits caps any value its table
-    can decode, ~31 bits/seq on the bench corpus vs the 64-bit da‖db
-    form — and the relay fetch is the end-to-end bottleneck).  A value
-    exceeding its width (possible only on corrupt input, e.g. an offset
-    past the window) flags the lane so it re-decodes on the wide path —
-    packing never silently truncates.
+    Each lane's sequence k occupies exactly ``g`` whole u32 words
+    (g = 1 when the lane's field-width sum w = w_ll + w_ml + w_of is
+    <= 32, else 2): word 0 = the low 32 bits of
+    ``v = ll | ml << w_ll | ofv << (w_ll + w_ml)``, word 1 (g = 2
+    lanes only) = the high bits.  Word granularity costs ~4-8% more
+    fetch than the old bit-granular pack (~4 B vs ~3.9 B per sequence
+    at the bench corpus's w ~ 31) but compacts with ONE data-dependent
+    gather instead of 2J = 6 — the gathers lower serially (~17 ns per
+    element, measured r5) and dominated the whole sequence phase
+    (~154 ms of a 205 ms call at 1.4 M dense words).
+
+    A value exceeding its field width (possible only on corrupt input,
+    e.g. an offset past the window) flags the lane so it re-decodes on
+    the wide path — packing never silently truncates.
 
     pa, pb: (steps, slots, L) narrow planes (see decode_sequences_v2).
-    cumw: int32[L+1] prefix sums of per-lane word counts
-    ceil(nseq*w/32).  J: static contributor bound per output word,
-    1 + ceil(32 / min-lane-width).  Returns (packed uint32[n_dense_w],
-    lane_overflow bool[L]).
+    cumw: int32[L+1] prefix sums of per-lane word counts nseq * g.
+    Returns (packed uint32[n_dense_w], lane_overflow bool[L]).
     """
     R = pa.shape[0] * pa.shape[1]
     L = pa.shape[2]
@@ -137,32 +141,18 @@ def _pack_triples(pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w: int, J: int):
     ) & (valid != 0)
     lane_over = jnp.any(over, axis=0)
 
-    wsum = (w_ll + w_ml + w_of).astype(jnp.int32)
+    # Interleave lo/hi as rows 2s / 2s+1 so one gather serves both
+    # granules: dense word m of lane j is sequence k = (m - cumw[j]),
+    # s = k >> gsh, granule k & gsh (gsh = g - 1 in {0, 1}).
+    loihi = jnp.stack([lo, hi], axis=1).reshape(2 * R, L)
+    gsh = ((w_ll + w_ml + w_of) > 32).astype(jnp.int32)
     marks = jnp.zeros(n_dense_w, jnp.int32).at[cumw[1:]].add(1, mode="drop")
     lane = jnp.cumsum(marks)
-    bit0 = 32 * (jax.lax.iota(jnp.int32, n_dense_w) - jnp.take(cumw, lane, mode="clip"))
-    wlane = jnp.take(wsum, lane, mode="clip")
-    nlane = jnp.take(nseq, lane, mode="clip")
-    s0 = bit0 // jnp.maximum(wlane, 1)
-    lo_f, hi_f = lo.reshape(-1), hi.reshape(-1)
-    acc = jnp.zeros(n_dense_w, U32)
-    for j in range(J):
-        s = s0 + j
-        live = (s * wlane < bit0 + 32) & (s < nlane)
-        idx = jnp.clip(s * L + lane, 0, R * L - 1)
-        lo_s = jnp.take(lo_f, idx)
-        hi_s = jnp.take(hi_f, idx)
-        sh = s * wlane - bit0  # in (-w, 32)
-        t = jnp.maximum(-sh, 0).astype(U32)
-        piece = jnp.where(
-            sh >= 0,
-            _shl32(lo_s, jnp.maximum(sh, 0).astype(U32)),
-            _shr32(lo_s, t)
-            | jnp.where(t <= 32, _shl32(hi_s, U32(32) - t), U32(0))
-            | jnp.where(t > 32, _shr32(hi_s, t - U32(32)), U32(0)),
-        )
-        acc = acc | jnp.where(live, piece, U32(0))
-    return acc, lane_over
+    k = jax.lax.iota(jnp.int32, n_dense_w) - jnp.take(cumw, lane, mode="clip")
+    gl = jnp.take(gsh, lane, mode="clip")
+    idx = ((k >> gl) * 2 + (k & gl)) * L + lane
+    packed = jnp.take(loihi.reshape(-1), jnp.clip(idx, 0, 2 * R * L - 1))
+    return packed, lane_over
 
 
 def _literals_scan(
@@ -464,7 +454,7 @@ SEQ_LANE_COLS = 13  # lane_mat columns: base, p0, pend, nseq, w_ll,
 #                     of_al, ml_al
 
 
-@partial(jax.jit, static_argnames=("max_steps", "n_dense_w", "J"))
+@partial(jax.jit, static_argnames=("max_steps", "n_dense_w"))
 def decode_sequences_dense(
     words,
     lane_mat,  # int32[L, 13] stacked per-lane columns (SEQ_LANE_COLS)
@@ -476,17 +466,16 @@ def decode_sequences_dense(
     *,
     max_steps: int,
     n_dense_w: int,
-    J: int,
 ):
-    """Narrow-packed sequence decode with on-device bit compaction.
+    """Narrow-packed sequence decode with on-device word compaction.
 
     The never-stall invariant makes slot validity a per-lane prefix, so
-    lane j's sequences are exactly its first nseq[j] slots — bit-packed
-    here (see _pack_triples) into ONE uint32[n_dense_w + L] array:
-    packed words (lane j's bitstream at cumw[j]..cumw[j+1]) then per-
-    lane ok flags.  The fetch moves ~w bits per real sequence (the
-    per-lane table-bounded width, ~31 on the bench corpus) instead of
-    the 8 B da‖db planes."""
+    lane j's sequences are exactly its first nseq[j] slots — packed
+    word-granularly here (see _pack_triples) into ONE
+    uint32[n_dense_w + L] array: packed words (lane j's words at
+    cumw[j]..cumw[j+1]) then per-lane ok flags.  The fetch moves 4 B
+    (8 B for field-width sums > 32) per real sequence instead of the
+    8 B da‖db planes."""
     (
         base, p0, pend, nseq, w_ll, w_ml, w_of,
         ll_slot, of_slot, ml_slot, ll_al, of_al, ml_al,
@@ -511,7 +500,7 @@ def decode_sequences_dense(
         ll_al, of_al, ml_al, max_steps, False,
     )
     packed, over = _pack_triples(
-        pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w, J
+        pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w
     )
     # One output array per call — see decode_literals_dense.
     return jnp.concatenate([packed, (ok & ~over).astype(U32)])

@@ -65,30 +65,43 @@ def _place(v, sh):
     return jnp.where(sh >= 0, _shl(v, pos), _shr(v, neg))
 
 
-def _consume(bs, nbits, n):
+# The bit buffer is ONE (8, 128) uint32 tensor (rows 0..NW-1 hold the
+# MSB-first 192-bit window, rows NW..7 stay zero): consume/merge are a
+# handful of full-VREG ops via a sublane roll, instead of ~60 (1, 128)
+# scalar-row ops per take on the old tuple-of-rows form — the per-step
+# cost was measured op-issue-bound (~52 us/step floor, BASELINE.md r5).
+
+
+def _iota8():
+    return jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+
+
+def _consume(bs8, nbits, n):
+    """Shift the whole window left by n (<= 31) bits; one roll + a few
+    tensor ops (row j's inflow = row j+1's top bits; rows >= NW - 1
+    take zero inflow, masking the circular wrap)."""
     n32 = n.astype(U32)
-    out = []
-    for j in range(NW):
-        hi = _shl(bs[j], n32) | jnp.where(
-            n32 >= 32, (bs[j + 1] if j + 1 < NW else _Z), _Z
-        )
-        lo = _shr(bs[j + 1], U32(32) - n32) if j + 1 < NW else _Z
-        out.append(hi | lo)
-    return tuple(out), nbits - n
+    # shift 7 == -1 on the circular 8-row axis (roll requires >= 0).
+    nxt = pltpu.roll(bs8, shift=7, axis=0)
+    nxt = jnp.where(_iota8() < NW - 1, nxt, _Z)
+    return _shl(bs8, n32) | _shr(nxt, U32(32) - n32), nbits - n
 
 
-def _take(bs, nbits, n):
+def _take(bs8, nbits, n):
     """Read the top n (<= 31) bits as a value and consume."""
     n32 = n.astype(U32)
-    top = bs[0] >> U32(1)
+    top = bs8[0:1] >> U32(1)
     val = _shr(top, U32(31) - n32)
-    bs, nbits = _consume(bs, nbits, n)
-    return val, bs, nbits
+    bs8, nbits = _consume(bs8, nbits, n)
+    return val, bs8, nbits
 
 
-def _merge(bs, nbits, v):
-    """Append one u32 below the current contents (room checked by caller)."""
-    return tuple(bs[j] | _place(v, 32 * j - nbits) for j in range(NW))
+def _merge(bs8, nbits, v):
+    """Append one u32 below the current contents (room checked by the
+    caller): row j receives v placed at bit offset 32*j - nbits, a
+    per-element tensor shift (rows past the window self-mask: the
+    placement shift saturates to zero output)."""
+    return bs8 | _place(v, 32 * _iota8() - nbits)
 
 
 def _kernel(
@@ -195,7 +208,7 @@ def _kernel(
         v = jnp.where(has, v & mask, _Z)
         b0 = jnp.where(has, _shl(v, (U32(32) - top_bits.astype(U32))), zeros)
         nbits = jnp.where(has, top_bits, jnp.zeros_like(top_bits))
-        bs = (b0,) + (zeros,) * (NW - 1)
+        bs = jnp.where(_iota8() == 0, b0, _Z)
         wi = wi - 1
         for _ in range(NW - 1):
             bs, nbits, wi = refill(
@@ -212,8 +225,7 @@ def _kernel(
         v, bs, nbits = _take(bs, nbits, ml_al)
         s_ml = v.astype(jnp.int32)
         pos = pos - ml_al
-        for k in range(NW):
-            sbuf_ref[k : k + 1, :] = bs[k]
+        sbuf_ref[:] = bs
         sint_ref[0:1, :] = nbits
         sint_ref[1:2, :] = wi
         sint_ref[2:3, :] = pos
@@ -223,7 +235,7 @@ def _kernel(
         sint_ref[6:7, :] = jnp.zeros((1, LANES), jnp.int32)  # emitted
         sint_ref[7:8, :] = jnp.zeros((1, LANES), jnp.int32)  # bad
 
-    bs = tuple(sbuf_ref[k : k + 1, :] for k in range(NW))
+    bs = sbuf_ref[:]
     nbits = sint_ref[0:1, :]
     wi = sint_ref[1:2, :]
     pos = sint_ref[2:3, :]
@@ -308,8 +320,7 @@ def _kernel(
     carry = jax.lax.fori_loop(0, SC // 2, two_steps, carry)
     bs, nbits, wi, pos, s_ll, s_of, s_ml, emitted, bad = carry[:9]
 
-    for k in range(NW):
-        sbuf_ref[k : k + 1, :] = bs[k]
+    sbuf_ref[:] = bs
     sint_ref[0:1, :] = nbits
     sint_ref[1:2, :] = wi
     sint_ref[2:3, :] = pos
@@ -331,7 +342,7 @@ MAX_W = 16384  # (W, 128) u32 window = 8 MB VMEM at this cap
 @partial(
     jax.jit,
     static_argnames=(
-        "max_steps", "n_dense_w", "J", "W", "R_ll", "R_of", "R_ml", "interpret"
+        "max_steps", "n_dense_w", "W", "R_ll", "R_of", "R_ml", "interpret"
     ),
 )
 def decode_sequences_dense_pl(
@@ -345,7 +356,6 @@ def decode_sequences_dense_pl(
     *,
     max_steps: int,
     n_dense_w: int,
-    J: int,
     W: int,
     R_ll: int,
     R_of: int,
@@ -439,6 +449,6 @@ def decode_sequences_dense_pl(
     pa = da.reshape(max_steps, SLOTS, L)
     pb = db.reshape(max_steps, SLOTS, L)
     packed, over = _pack_triples(
-        pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w, J
+        pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w
     )
     return jnp.concatenate([packed, ((ok[0] != 0) & ~over).astype(U32)])

@@ -296,22 +296,22 @@ class DeviceEngine:
         return _pad_pow2(idx, lo=lo)
 
     def _seq_pack_meta(self, plan, sel, nseq):
-        """Per-call packed-triple metadata: table-bounded field widths,
-        word-count prefix sums, dense size and the static contributor
-        bound J (see kernels/entropy2._pack_triples).  w_of is clamped
-        so a sequence packs into <= 63 bits — legit offsets are bounded
-        by the window (<= 24 bits), and a clamped-out value flags the
-        lane to the wide retry rather than truncating."""
+        """Per-call packed-triple metadata: table-bounded field widths
+        and word-count prefix sums for the word-granular pack (see
+        kernels/entropy2._pack_triples — each sequence takes 1 whole
+        u32 word, 2 when the width sum exceeds 32).  w_of is clamped so
+        a sequence packs into <= 63 bits — legit offsets are bounded by
+        the window (<= 24 bits), and a clamped-out value flags the lane
+        to the wide retry rather than truncating."""
         w_ll = plan.fse_wbits[plan.seq_ll_slot[sel]].astype(np.int32)
         w_ml = plan.fse_wbits[plan.seq_ml_slot[sel]].astype(np.int32)
         w_of = plan.fse_wbits[plan.seq_of_slot[sel]].astype(np.int32)
         w_of = np.minimum(w_of, 63 - w_ll - w_ml)
-        wsum = w_ll + w_ml + w_of
+        g = 1 + (w_ll + w_ml + w_of > 32)
         cumw = np.zeros(len(sel) + 1, dtype=np.int32)
-        np.cumsum(-(-(nseq.astype(np.int64) * wsum) // 32), out=cumw[1:])
+        np.cumsum(nseq.astype(np.int64) * g, out=cumw[1:])
         n_dense_w = _dense_pad(int(cumw[-1]))
-        J = 1 + -(-32 // int(wsum.min()))
-        return w_ll, w_ml, w_of, cumw, n_dense_w, J
+        return w_ll, w_ml, w_of, cumw, n_dense_w
 
     def _seq_lane_mat(self, plan, sel, nseq, w_ll, w_ml, w_of) -> np.ndarray:
         """Stacked (L, 13) per-lane columns (entropy2.SEQ_LANE_COLS) —
@@ -550,8 +550,9 @@ class DeviceEngine:
     def _dispatch_sequences(self, plan: BatchPlan, subset=None):
         """Dispatch the dense sequences kernel; step counts are exact
         (never-stall invariant, kernels/entropy2.py) and the fetch is
-        bit-packed — w_ll+w_ml+w_of (~31) bits per real sequence
-        (``_seq_pack_meta`` / ``_pack_triples``).  The Mosaic form
+        word-packed — 4 B per real sequence (8 B when the field-width
+        sum exceeds 32; ``_seq_pack_meta`` / ``_pack_triples``).  The
+        Mosaic form
         (kernels/pallas_seq.py,
         2.8x faster per step) runs when the per-lane window fits VMEM;
         oversized tiers fall back to the lax.scan form.  Returns
@@ -592,7 +593,7 @@ class DeviceEngine:
             nseq = np.where(
                 np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
             ).astype(np.int32)
-            w_ll, w_ml, w_of, cumw, n_dense_w, J = self._seq_pack_meta(
+            w_ll, w_ml, w_of, cumw, n_dense_w = self._seq_pack_meta(
                 plan, sel, nseq
             )
             dev = self._plan_dev(plan)
@@ -605,7 +606,6 @@ class DeviceEngine:
                 dev["fse_off"],
                 max_steps=steps,
                 n_dense_w=n_dense_w,
-                J=J,
             )
             self.stats.kernel_calls += 1
             pending.append((idx, cumw, handles))
@@ -624,7 +624,7 @@ class DeviceEngine:
         nseq = np.where(
             np.arange(len(sel)) < n_real, plan.seq_nseq[sel], 0
         ).astype(np.int32)
-        w_ll, w_ml, w_of, cumw, n_dense_w, J = self._seq_pack_meta(
+        w_ll, w_ml, w_of, cumw, n_dense_w = self._seq_pack_meta(
             plan, sel, nseq
         )
         dev = self._plan_dev(plan)
@@ -638,7 +638,6 @@ class DeviceEngine:
             dev["fse_off"],
             max_steps=steps,
             n_dense_w=n_dense_w,
-            J=J,
             W=W,
             R_ll=_next_pow2(1 << int(plan.seq_ll_al[sel].max()), lo=8),
             R_of=_next_pow2(1 << int(plan.seq_of_al[sel].max()), lo=8),
@@ -664,7 +663,7 @@ class DeviceEngine:
                 ok[lane] = lane_ok[j]
 
     def _finish_sequences(self, plan, pending, outs, ok, fetched) -> None:
-        # One uint32 array per call: bit-packed triple streams
+        # One uint32 array per call: word-packed triple streams
         # (n_dense_w words) ‖ per-lane ok flags — see
         # decode_sequences_dense / _pack_triples.  Prefix validity is
         # the kernel's job (a stall flags the lane bad); packing
@@ -680,12 +679,11 @@ class DeviceEngine:
             ).astype(np.uint64)
             lane_ok = arr[n_dense_w:].astype(bool)
             ok[idx] = lane_ok[: len(idx)]
-            # One vectorized unpack across ALL lanes of the call: each
-            # sequence's 64-bit window is addressed by its global bit
-            # position (lane word base 32*cumw[j] + i*w_j); bits above
-            # its own w_j are masked, so cross-lane word reads at lane
-            # boundaries are harmless (same as the per-lane slicing
-            # this replaces — the pack is word-aligned per lane).
+            # One vectorized unpack across ALL lanes of the call: the
+            # pack is word-granular (entropy2._pack_triples), so
+            # sequence i of lane j sits at word cumw[j] + i*g_j (plus a
+            # high word when g_j = 2) — a pure array read, no bit-
+            # position arithmetic.
             ns = plan.seq_nseq[idx].astype(np.int64)
             tot = int(ns.sum())
             if tot == 0:
@@ -702,17 +700,15 @@ class DeviceEngine:
                 wb[plan.seq_of_slot[idx]].astype(np.int64), 63 - w_ll - w_ml
             )
             w = w_ll + w_ml + w_of
+            g = 1 + (w > 32).astype(np.int64)
             starts = np.zeros(len(idx) + 1, dtype=np.int64)
             np.cumsum(ns, out=starts[1:])
             lane_rep = np.repeat(np.arange(len(idx)), ns)
             i_local = np.arange(tot, dtype=np.int64) - starts[lane_rep]
-            gpos = 32 * cumw[:-1].astype(np.int64)[lane_rep] + i_local * w[lane_rep]
-            wi = gpos >> 5
-            sh = (gpos & 31).astype(np.uint64)
-            v = (packed[wi] >> sh) | (packed[wi + 1] << (np.uint64(32) - sh))
-            v |= np.where(sh > 0, packed[wi + 2], 0) << np.where(
-                sh > 0, np.uint64(64) - sh, np.uint64(0)
-            )
+            wi = cumw[:-1].astype(np.int64)[lane_rep] + i_local * g[lane_rep]
+            v = packed[wi] | np.where(
+                g[lane_rep] == 2, packed[wi + 1], np.uint64(0)
+            ) << np.uint64(32)
             wr = w[lane_rep].astype(np.uint64)
             v &= (one << wr) - one
             wllr = w_ll[lane_rep].astype(np.uint64)
