@@ -142,6 +142,35 @@ def main() -> None:
         else None,
     }
 
+    # --- encoder ratio table (VERDICT r4 ask #5) ------------------------
+    # ours vs libzstd at matched levels on the corpus's four content
+    # types; values are ours_bytes / libzstd_bytes (< 1 = we're smaller).
+    from zstd_tpu import encode as zt_encode
+
+    moby_text = raw[:200_000]
+    rng2 = np.random.default_rng(7)
+    enc_sets = {
+        "text": moby_text,
+        "records": b"".join(
+            b"id=%08d|name=user%04d|score=%05d;" % (i, i % 7919, (i * 2654435761) % 99999)
+            for i in range(6000)
+        ),
+        "lowent": rng2.choice(
+            np.frombuffer(b"ACGT", dtype=np.uint8), 200_000
+        ).tobytes(),
+        "repetitive": (lambda b: b"".join(
+            b[: int(k)] for k in rng2.integers(512, 4096, 80)
+        ))(rng2.integers(0, 256, 4096, dtype=np.uint8).tobytes()),
+    }
+    encode_ratios: dict = {}
+    for name, payload in enc_sets.items():
+        encode_ratios[name] = {}
+        for lv in (1, 3, 6, 19):
+            z = len(libzstd.compress(payload, lv))
+            c = zt_encode.compress(payload, level=lv)
+            assert libzstd.decompress(c) == payload, (name, lv)
+            encode_ratios[name][f"L{lv}"] = round(len(c) / z, 3)
+
     # Baseline: serial host oracle on a slice, extrapolated.
     slice_comp = libzstd.compress(raw[: 2 << 20], 3, checksum=True)
     t0 = time.perf_counter()
@@ -175,6 +204,7 @@ def main() -> None:
             "fallback_frames": stats["fallback_frames"],
             "wall_s": {k: round(v, 3) for k, v in stats["wall_s"].items()},
             "transfers": transfer_detail,
+            "encode_vs_libzstd": encode_ratios,
         },
     }
     print(json.dumps(report))

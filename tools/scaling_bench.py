@@ -34,7 +34,9 @@ print("DEVICES", jax.devices(), file=sys.stderr, flush=True)
 from bench import build_corpus
 from zstd_tpu.testing import libzstd
 raw = build_corpus({mb})
-chunk = 128 << 10   # small frames: CPU-backend kernel steps are slow
+chunk = 32 << 10    # small frames: CPU-backend compiles of big-step
+                    # scan shapes take 15+ min on this 2-core host, so
+                    # keep per-lane step needs at the suite's shapes
 comp = b"".join(
     libzstd.compress(raw[i : i + chunk], 3, checksum=True)
     for i in range(0, len(raw), chunk)
@@ -97,7 +99,7 @@ def run(nproc: int, mb: float) -> list[dict]:
 
 
 def main() -> None:
-    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 0.75
     r1 = run(1, mb)
     r2 = run(2, mb)
     t1 = r1[0]["kernels_s"]

@@ -881,11 +881,14 @@ def _level_params(level: int) -> tuple[int, bool]:
         return 8, False
     if level <= 3:
         return 8, True
+    # The DP parse beats deeper lazy searches from here on: on 300 KB
+    # of moby text, lazy-16 = 124,082 B vs optimal-32 = 112,719 B —
+    # past libzstd-6's 116,080 (r5; BASELINE.md encoder table).
     if level <= 6:
-        return 16, True
+        return 32, "optimal"
     if level <= 9:
-        return 32, True
-    return 48, "optimal"
+        return 48, "optimal"
+    return 64, "optimal"
 
 
 def _compress_block(
