@@ -142,6 +142,27 @@ def main() -> None:
         else None,
     }
 
+    main_stats = engine.stats.as_dict()  # before hl-mix reuses the engine
+
+    # --- high-level stream mix (VERDICT r4 ask #8) ----------------------
+    # Level-19 frames carry treeless/repeat table chains and long
+    # offsets (8 MiB windows); their kernel-path perf was previously
+    # only correctness-tested.  Bit-exactness-gated like the main run.
+    hl_raw = raw[: 8 << 20]
+    hl_comp = libzstd.compress(hl_raw, 19, checksum=True)
+    hl_out = engine.decompress(hl_comp)
+    assert hl_out == hl_raw, "high-level mix decode is not bit-exact"
+    t0 = time.perf_counter()
+    for _ in range(2):
+        engine.decompress(hl_comp)
+    hl_gbs = len(hl_raw) / ((time.perf_counter() - t0) / 2) / 1e9
+    hl_detail = {
+        "corpus_bytes": len(hl_raw),
+        "compressed_bytes": len(hl_comp),
+        "gbs": round(hl_gbs, 4),
+        "fallback_frames": engine.stats.fallback_frames,
+    }
+
     # --- encoder ratio table (VERDICT r4 ask #5) ------------------------
     # ours vs libzstd at matched levels on the corpus's four content
     # types; values are ours_bytes / libzstd_bytes (< 1 = we're smaller).
@@ -184,7 +205,7 @@ def main() -> None:
         libzstd.decompress(comp)
     libzstd_gbs = len(raw) / ((time.perf_counter() - t0) / iters) / 1e9
 
-    stats = engine.stats.as_dict()
+    stats = main_stats
     report = {
         "metric": "silesia-like batch decode throughput (1 chip, bit-exact)",
         "value": round(gbs, 4),
@@ -204,6 +225,7 @@ def main() -> None:
             "fallback_frames": stats["fallback_frames"],
             "wall_s": {k: round(v, 3) for k, v in stats["wall_s"].items()},
             "transfers": transfer_detail,
+            "highlevel_mix": hl_detail,
             "encode_vs_libzstd": encode_ratios,
         },
     }

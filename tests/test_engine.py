@@ -284,10 +284,13 @@ def test_injected_kernel_exception_falls_back_to_oracle(monkeypatch):
     payload = (b"exception safety %d " * 400) % tuple(range(400))
     comp = libzstd.compress(payload, 6, checksum=True)
 
-    def boom(self, plan):
+    def boom(self, plan, subset=None):
         raise ValueError("injected kernel bug")
 
-    monkeypatch.setattr(DeviceEngine, "_run_both", boom)
+    # _dispatch_sequences underlies both the frame-pipelined path and
+    # the classic _run_both path, so the injected failure exercises the
+    # pipelined replan AND the final oracle degrade.
+    monkeypatch.setattr(DeviceEngine, "_dispatch_sequences", boom)
     eng = DeviceEngine()
     out = eng.decompress(comp)
     assert out == payload

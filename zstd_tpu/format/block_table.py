@@ -437,18 +437,30 @@ def build_batch_plan(
     *,
     max_window_size: int = MAX_WINDOW_SIZE,
     words: np.ndarray | None = None,
+    frames: list | None = None,
 ) -> BatchPlan:
     """Parse ``data`` and lay out every entropy stream as a kernel lane.
 
     ``words``: a pre-built :func:`input_words` array (the engine builds
     and uploads it before calling here so the relay transfer overlaps
-    this prepass); built on demand otherwise."""
-    builder = _Builder(data)
-    frames: list[FramePlan] = []
+    this prepass); built on demand otherwise.
 
-    for frame in iter_frames(data, max_window_size=max_window_size):
+    ``frames``: pre-parsed frames (a slice of the input's frame list)
+    — the engine's frame-pipelined path plans and dispatches GROUPS of
+    frames so the parse of group k overlaps the device execution of
+    groups < k; lane word indices stay absolute into ``data`` either
+    way, so every group shares the one uploaded words buffer."""
+    builder = _Builder(data)
+    frames_out: list[FramePlan] = []
+
+    frame_src = (
+        frames
+        if frames is not None
+        else iter_frames(data, max_window_size=max_window_size)
+    )
+    for frame in frame_src:
         fp = FramePlan(frame=frame)
-        frames.append(fp)
+        frames_out.append(fp)
         if isinstance(frame, SkippableFrame):
             continue
         huff_slot: int | None = None
@@ -547,7 +559,7 @@ def build_batch_plan(
         }
     i32 = lambda xs: np.asarray(xs, dtype=np.int32)  # noqa: E731
     return BatchPlan(
-        frames=frames,
+        frames=frames_out,
         words=input_words(data) if words is None else words,
         lit_base=i32(builder.lit["base"]),
         lit_p0=i32(builder.lit["p0"]),

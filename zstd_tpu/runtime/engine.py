@@ -248,10 +248,13 @@ class DeviceEngine:
         per call used to cost ~4-5 MB of relay upload per decompress.
         Bank row counts pad to pow2 to bound the jit shape family."""
         if getattr(self, "_dev_cache", None) is None or self._dev_cache[0] is not plan:
+            # _early_words is the whole-input upload issued at
+            # decompress entry; it persists for the run so every
+            # frame-group plan of a pipelined decompress shares it
+            # (absolute word indexing — block_table._StreamLocator).
             words_dev = getattr(self, "_early_words", None)
             if words_dev is None:
                 words_dev = self._put(plan.words, lane=False)
-            self._early_words = None
             def bank(a, lo):
                 rows = _next_pow2(a.shape[0], lo=lo)
                 if rows != a.shape[0]:
@@ -930,76 +933,157 @@ class DeviceEngine:
         # the whole host prepass below.
         words = input_words(data)
         self._early_words = self._put(words, lane=False)
-        plan = build_batch_plan(
-            data, max_window_size=self.max_window_size, words=words
-        )
-        t1 = time.perf_counter()
-        try:
-            (lit_outs, lit_ok), (seq_outs, seq_ok) = self._run_both(plan)
-        except Exception as e:  # last-resort: degrade to slow-but-correct
-            # The module contract (see docstring) promises bit-exactness
-            # by construction: an UNanticipated kernel failure (not just
-            # an ok-flag trip) must route every lane-bearing frame to
-            # the host oracle, never escape to the caller.
-            _log.warning("kernel phase failed, falling back to oracle: %r", e)
-            stats.fallback_reasons.append(f"kernel phase: {e!r}")
-            self._drain_fetches()
-            lit_outs = [None] * plan.n_lit_lanes
-            seq_outs = [None] * plan.n_seq_lanes
-            lit_ok = np.zeros(plan.n_lit_lanes, dtype=bool)
-            seq_ok = np.zeros(plan.n_seq_lanes, dtype=bool)
+
+        # Frame-pipelined path (single-device, non-instrumented): parse
+        # ~1 MiB frame GROUPS and dispatch each group's kernels as soon
+        # as it parses, so the prepass of group k overlaps the device
+        # execution of groups < k.  measure_phases keeps the one-plan
+        # path (its barrier semantics define the phase split), as do
+        # mesh/multihost engines (their exchange collectives need every
+        # process to enter identical phase order on one plan).
+        groups = None
+        prepass_s = 0.0
+        if (
+            self.mesh is None
+            and type(self)._run_both is DeviceEngine._run_both
+            and not self.measure_phases
+        ):
+            try:
+                groups, prepass_s = self._run_pipelined(data, words)
+            except Exception as e:
+                _log.warning(
+                    "pipelined kernel phase failed, replanning: %r", e
+                )
+                stats.fallback_reasons.append(f"pipelined: {e!r}")
+                self._drain_fetches()
+                groups = None
+        if groups is None:
+            tp = time.perf_counter()
+            plan = build_batch_plan(
+                data, max_window_size=self.max_window_size, words=words
+            )
+            prepass_s = time.perf_counter() - tp
+            try:
+                (lit_outs, lit_ok), (seq_outs, seq_ok) = self._run_both(plan)
+            except Exception as e:  # last-resort: degrade to slow-but-correct
+                # The module contract (see docstring) promises
+                # bit-exactness by construction: an UNanticipated kernel
+                # failure (not just an ok-flag trip) must route every
+                # lane-bearing frame to the host oracle, never escape to
+                # the caller.
+                _log.warning(
+                    "kernel phase failed, falling back to oracle: %r", e
+                )
+                stats.fallback_reasons.append(f"kernel phase: {e!r}")
+                self._drain_fetches()
+                lit_outs = [None] * plan.n_lit_lanes
+                seq_outs = [None] * plan.n_seq_lanes
+                lit_ok = np.zeros(plan.n_lit_lanes, dtype=bool)
+                seq_ok = np.zeros(plan.n_seq_lanes, dtype=bool)
+            groups = [(plan, lit_outs, lit_ok, seq_outs, seq_ok)]
         t2 = time.perf_counter()
 
-        stats.lit_lanes = plan.n_lit_lanes
-        stats.seq_lanes = plan.n_seq_lanes
-
         out = bytearray()
-        for fp in plan.frames:
-            stats.frames += 1
-            if isinstance(fp.frame, SkippableFrame):
-                if include_skippable:
-                    out += fp.frame.payload
-                continue
-            stats.blocks += len(fp.blocks)
-            if fp.fallback or not _frame_lanes_ok(fp, lit_ok, seq_ok):
-                stats.fallback_frames += 1
-                out += decode_frame(fp.frame, verify_checksum=verify_checksum)
-                continue
-            try:
-                frame_out = self._assemble_frame(fp, lit_outs, seq_outs)
-                header = fp.frame.header
-                if header.checksum_flag and verify_checksum:
-                    computed = xxh64(frame_out) & 0xFFFFFFFF
-                    if computed != fp.frame.checksum:
-                        raise ChecksumMismatch(computed, fp.frame.checksum)
-                if (
-                    header.content_size is not None
-                    and len(frame_out) != header.content_size
-                ):
-                    raise ImpossibleValue(
-                        f"frame decoded {len(frame_out)}, "
-                        f"header says {header.content_size}"
+        for plan, lit_outs, lit_ok, seq_outs, seq_ok in groups:
+            stats.lit_lanes += plan.n_lit_lanes
+            stats.seq_lanes += plan.n_seq_lanes
+            for fp in plan.frames:
+                stats.frames += 1
+                if isinstance(fp.frame, SkippableFrame):
+                    if include_skippable:
+                        out += fp.frame.payload
+                    continue
+                stats.blocks += len(fp.blocks)
+                if fp.fallback or not _frame_lanes_ok(fp, lit_ok, seq_ok):
+                    stats.fallback_frames += 1
+                    out += decode_frame(fp.frame, verify_checksum=verify_checksum)
+                    continue
+                try:
+                    frame_out = self._assemble_frame(fp, lit_outs, seq_outs)
+                    header = fp.frame.header
+                    if header.checksum_flag and verify_checksum:
+                        computed = xxh64(frame_out) & 0xFFFFFFFF
+                        if computed != fp.frame.checksum:
+                            raise ChecksumMismatch(computed, fp.frame.checksum)
+                    if (
+                        header.content_size is not None
+                        and len(frame_out) != header.content_size
+                    ):
+                        raise ImpossibleValue(
+                            f"frame decoded {len(frame_out)}, "
+                            f"header says {header.content_size}"
+                        )
+                except Exception as e:
+                    # Assembly/validation failed: re-decode the frame
+                    # with the oracle.  A kernel bug thereby degrades to
+                    # correct bytes; genuine corruption re-raises from
+                    # the oracle as the same typed error the host path
+                    # would produce.
+                    _log.warning("frame assembly failed, oracle fallback: %r", e)
+                    stats.fallback_frames += 1
+                    stats.fallback_reasons.append(f"assembly: {e!r}")
+                    frame_out = decode_frame(
+                        fp.frame, verify_checksum=verify_checksum
                     )
-            except Exception as e:
-                # Assembly/validation failed: re-decode the frame with
-                # the oracle.  A kernel bug thereby degrades to correct
-                # bytes; genuine corruption re-raises from the oracle as
-                # the same typed error the host path would produce.
-                _log.warning("frame assembly failed, oracle fallback: %r", e)
-                stats.fallback_frames += 1
-                stats.fallback_reasons.append(f"assembly: {e!r}")
-                frame_out = decode_frame(fp.frame, verify_checksum=verify_checksum)
-            out += frame_out
+                out += frame_out
         t3 = time.perf_counter()
 
         stats.bytes_out = len(out)
+        # Pipelined runs overlap parse with device execution, so
+        # ``prepass`` is parse-only CPU time (informational) and
+        # ``kernels`` is the full overlapped span.
         stats.wall_s.update(
-            prepass=t1 - t0,
-            kernels=t2 - t1,
+            prepass=prepass_s,
+            kernels=(t2 - t0) - (0.0 if groups and len(groups) > 1 else prepass_s),
             assembly=t3 - t2,
             total=t3 - t0,
         )
         return bytes(out)
+
+    def _run_pipelined(self, data, words):
+        """Parse frame groups and dispatch each group's kernel calls as
+        soon as it parses; one streaming fetch then covers every call
+        in dispatch order (the fetch of group k overlaps the compute of
+        later groups and the host finish of earlier ones).  Returns
+        ([(plan, lit_outs, lit_ok, seq_outs, seq_ok)], parse_seconds).
+        """
+        import time
+
+        from ..format.frame import parse_frame
+        from ..utils.bits import ForwardByteCursor
+
+        parse_s = 0.0
+        staged = []
+        cur = ForwardByteCursor(data)
+        group_bytes = 1 << 20
+        while not cur.is_empty:
+            tp = time.perf_counter()
+            frames = []
+            start = cur.pos
+            while not cur.is_empty and cur.pos - start < group_bytes:
+                frames.append(
+                    parse_frame(cur, max_window_size=self.max_window_size)
+                )
+            plan = build_batch_plan(
+                data,
+                max_window_size=self.max_window_size,
+                words=words,
+                frames=frames,
+            )
+            parse_s += time.perf_counter() - tp
+            lit_outs, lit_ok, lp = self._dispatch_literals(plan)
+            seq_outs, seq_ok, sp = self._dispatch_sequences(plan)
+            staged.append((plan, lit_outs, lit_ok, seq_outs, seq_ok, lp, sp))
+        it = self._fetch_stream(
+            [h for g in staged for h in _handles(g[5]) + _handles(g[6])]
+        )
+        groups = []
+        for plan, lit_outs, lit_ok, seq_outs, seq_ok, lp, sp in staged:
+            self._finish_literals(plan, lp, lit_outs, lit_ok, it)
+            self._finish_sequences(plan, sp, seq_outs, seq_ok, it)
+            self._retry_sequences(plan, seq_outs, seq_ok)
+            groups.append((plan, lit_outs, lit_ok, seq_outs, seq_ok))
+        return groups, parse_s
 
     def decompress(self, data, **kw) -> bytes:
         return self.decompress_with_stats(data, **kw)
