@@ -334,3 +334,36 @@ def test_fetch_thread_exception_falls_back_to_oracle(monkeypatch):
     out = eng.decompress(comp)
     assert out == payload
     assert eng.stats.fallback_frames >= 1
+
+
+def test_frame_pipelined_groups_bit_exact(monkeypatch):
+    # >1 MiB of compressed multi-frame input must split into several
+    # pipelined plan groups (prepass overlapping dispatch) and still
+    # produce bit-exact output with zero fallbacks; skippable frames
+    # may land at group boundaries.
+    rng = np.random.default_rng(21)
+    parts, skip = [], b"\x53\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"SKIP"
+    expect = bytearray()
+    for i in range(12):
+        blob = rng.integers(97, 123, 200_000, dtype=np.uint8).tobytes()
+        parts.append(libzstd.compress(blob, 1, checksum=True))
+        expect += blob
+        if i % 3 == 0:
+            parts.append(skip)
+    data = b"".join(parts)
+    assert len(data) > (1 << 20) + (256 << 10)  # >= 2 pipeline groups
+
+    groups_seen = []
+    orig = DeviceEngine._run_pipelined
+
+    def spy(self, d, w):
+        groups, parse_s = orig(self, d, w)
+        groups_seen.append(len(groups))
+        return groups, parse_s
+
+    monkeypatch.setattr(DeviceEngine, "_run_pipelined", spy)
+    eng = DeviceEngine()
+    out = eng.decompress(data)
+    assert out == bytes(expect)
+    assert eng.stats.fallback_frames == 0
+    assert groups_seen and groups_seen[0] >= 2, groups_seen
