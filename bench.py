@@ -99,6 +99,8 @@ def main() -> None:
     # the ceiling" from a claim into a measurement and yields the first
     # number comparable to the directly-attached-hardware north star.
     engine.measure_phases = True
+    engine.decompress(comp)  # measure-mode warm-up: the classic (non-
+    # pipelined) path this mode uses has its own plan shapes to compile
     engine.decompress(comp)
     engine.measure_phases = False
     ph = engine.stats.as_dict()

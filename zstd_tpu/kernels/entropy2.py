@@ -95,33 +95,15 @@ def _shr32(v, n):
     return jnp.where(n >= 32, U32(0), v >> (n & U32(31)))
 
 
-def _pack_triples(pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w: int):
-    """Pack sequence triples word-granularly and compact them into ONE
-    dense u32 array.
+def _pack_words(pa, pb, w_ll, w_ml, w_of):
+    """Field-pack sequence triples: (lo, hi, lane_overflow).
 
-    Each lane's sequence k occupies exactly ``g`` whole u32 words
-    (g = 1 when the lane's field-width sum w = w_ll + w_ml + w_of is
-    <= 32, else 2): word 0 = the low 32 bits of
-    ``v = ll | ml << w_ll | ofv << (w_ll + w_ml)``, word 1 (g = 2
-    lanes only) = the high bits.  Word granularity costs ~4-8% more
-    fetch than the old bit-granular pack (~4 B vs ~3.9 B per sequence
-    at the bench corpus's w ~ 31) but compacts with ONE data-dependent
-    gather instead of 2J = 6 — the gathers lower serially (~17 ns per
-    element, measured r5) and dominated the whole sequence phase
-    (~154 ms of a 205 ms call at 1.4 M dense words).
-
-    A value exceeding its field width (possible only on corrupt input,
-    e.g. an offset past the window) flags the lane so it re-decodes on
-    the wide path — packing never silently truncates.
-
-    pa, pb: (steps, slots, L) narrow planes (see decode_sequences_v2).
-    cumw: int32[L+1] prefix sums of per-lane word counts nseq * g.
-    Returns (packed uint32[n_dense_w], lane_overflow bool[L]).
-    """
-    R = pa.shape[0] * pa.shape[1]
-    L = pa.shape[2]
-    pa = pa.reshape(R, L)
-    pb = pb.reshape(R, L)
+    ``v = ll | ml << w_ll | ofv << (w_ll + w_ml)`` split into its low
+    and high u32 words per slot.  A value exceeding its field width
+    (possible only on corrupt input, e.g. an offset past the window)
+    flags the lane so it re-decodes on the wide path — packing never
+    silently truncates.  pa, pb: (R, L) narrow planes flattened from
+    (steps, slots, L) (see decode_sequences_v2)."""
     valid = pa >> U32(31)
     ofv = jnp.where(valid != 0, pa & U32(0x7FFFFFFF), U32(0))
     ll = pb >> U32(16)
@@ -139,8 +121,42 @@ def _pack_triples(pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w: int):
         | (_shr32(ml, w_ml.astype(U32)[None, :]) != 0)
         | (_shr32(ofv, w_of.astype(U32)[None, :]) != 0)
     ) & (valid != 0)
-    lane_over = jnp.any(over, axis=0)
+    return lo, hi, jnp.any(over, axis=0)
 
+
+def _seq_word_plane(lo, hi, w_ll, w_ml, w_of):
+    """(2R, L) plane whose rows are each lane's packed words in order:
+    g = 1 lanes (width sum <= 32) use lo rows directly; g = 2 lanes
+    interleave lo/hi.  Row maps are static, so this is elementwise —
+    the input to the DMA compaction (kernels/compact_dma.py)."""
+    R, L = lo.shape
+    inter = jnp.stack([lo, hi], axis=1).reshape(2 * R, L)
+    lo_pad = jnp.concatenate([lo, jnp.zeros_like(lo)], axis=0)
+    g1 = ((w_ll + w_ml + w_of) <= 32)[None, :]
+    return jnp.where(g1, lo_pad, inter)
+
+
+def _pack_triples(pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w: int):
+    """Word-granular pack + gather compaction (XLA form).
+
+    Each lane's sequence k occupies exactly ``g`` whole u32 words
+    (g = 1 when the lane's field-width sum w = w_ll + w_ml + w_of is
+    <= 32, else 2).  Word granularity costs ~4-8% more fetch than the
+    old bit-granular pack (~4 B vs ~3.9 B per sequence at the bench
+    corpus's w ~ 31) but compacts with ONE data-dependent gather
+    instead of 2J = 6 — such gathers lower serially (~17 ns/element,
+    BASELINE.md r5).  The TPU production path replaces even this gather
+    with per-lane DMA copies (kernels/compact_dma.py); this form serves
+    interpret mode, CPU backends and the mesh path.
+
+    cumw: int32[L+1] prefix sums of per-lane word counts nseq * g.
+    Returns (packed uint32[n_dense_w], lane_overflow bool[L]).
+    """
+    R = pa.shape[0] * pa.shape[1]
+    L = pa.shape[2]
+    lo, hi, lane_over = _pack_words(
+        pa.reshape(R, L), pb.reshape(R, L), w_ll, w_ml, w_of
+    )
     # Interleave lo/hi as rows 2s / 2s+1 so one gather serves both
     # granules: dense word m of lane j is sequence k = (m - cumw[j]),
     # s = k >> gsh, granule k & gsh (gsh = g - 1 in {0, 1}).

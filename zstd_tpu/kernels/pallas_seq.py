@@ -342,7 +342,8 @@ MAX_W = 16384  # (W, 128) u32 window = 8 MB VMEM at this cap
 @partial(
     jax.jit,
     static_argnames=(
-        "max_steps", "n_dense_w", "W", "R_ll", "R_of", "R_ml", "interpret"
+        "max_steps", "n_dense_w", "W", "R_ll", "R_of", "R_ml", "interpret",
+        "dma_compact",
     ),
 )
 def decode_sequences_dense_pl(
@@ -361,6 +362,7 @@ def decode_sequences_dense_pl(
     R_of: int,
     R_ml: int,
     interpret: bool = False,
+    dma_compact: bool = False,
 ):
     """Pallas production path, same packed single-array contract as
     decode_sequences_dense: uint32[n_dense_w + L] = bit-packed ‖ ok.
@@ -368,7 +370,13 @@ def decode_sequences_dense_pl(
     The (W, L) window build and bank-row gathers run as XLA ops in the
     same jit; the serial decode loop is the Mosaic kernel; bit-packing
     compaction (entropy2._pack_triples) is XLA again."""
-    from .entropy2 import SEQ_LANE_COLS, _pack_triples
+    from .compact_dma import compact_lanes_dma
+    from .entropy2 import (
+        SEQ_LANE_COLS,
+        _pack_triples,
+        _pack_words,
+        _seq_word_plane,
+    )
 
     L = lane_mat.shape[0]
     assert L % LANES == 0 and W % L1_GROUP == 0, (L, W)
@@ -446,9 +454,27 @@ def decode_sequences_dense_pl(
         rows(bank_flat0, ml_slot, R_ml),
         rows(bank_flat1, ml_slot, R_ml),
     )
-    pa = da.reshape(max_steps, SLOTS, L)
-    pb = db.reshape(max_steps, SLOTS, L)
-    packed, over = _pack_triples(
-        pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w
-    )
+    if dma_compact and not interpret:
+        # Field-pack on the VPU, then per-lane DMA compaction of the
+        # word plane (kernels/compact_dma.py) — the gather form's
+        # serial ~17 ns/element indexed reads were 42 ms of the top
+        # bench call (BASELINE.md r5).  Requires 1024-word-aligned
+        # cumw (Mosaic HBM slices are (1024,)-tiled); the engine
+        # quantizes counts for big calls only, where the ~4% fetch pad
+        # costs less than the gather.
+        lo, hi, over = _pack_words(da, db, w_ll, w_ml, w_of)
+        plane = _seq_word_plane(lo, hi, w_ll, w_ml, w_of)
+        maxw = -(-2 * max_steps * SLOTS // 1024) * 1024
+        pad = maxw - 2 * max_steps * SLOTS
+        if pad:
+            plane = jnp.pad(plane, ((0, pad), (0, 0)))
+        packed = compact_lanes_dma(
+            plane.T, cumw, n_dense=n_dense_w, maxw=maxw
+        )
+    else:
+        pa = da.reshape(max_steps, SLOTS, L)
+        pb = db.reshape(max_steps, SLOTS, L)
+        packed, over = _pack_triples(
+            pa, pb, w_ll, w_ml, w_of, nseq, cumw, n_dense_w
+        )
     return jnp.concatenate([packed, ((ok[0] != 0) & ~over).astype(U32)])

@@ -298,21 +298,29 @@ class DeviceEngine:
         lo = 32 if self.mesh is None else max(32, int(self.mesh.devices.size))
         return _pad_pow2(idx, lo=lo)
 
-    def _seq_pack_meta(self, plan, sel, nseq):
+    def _seq_pack_meta(self, plan, sel, nseq, align: int = 1):
         """Per-call packed-triple metadata: table-bounded field widths
         and word-count prefix sums for the word-granular pack (see
         kernels/entropy2._pack_triples — each sequence takes 1 whole
         u32 word, 2 when the width sum exceeds 32).  w_of is clamped so
         a sequence packs into <= 63 bits — legit offsets are bounded by
         the window (<= 24 bits), and a clamped-out value flags the lane
-        to the wide retry rather than truncating."""
+        to the wide retry rather than truncating.
+
+        ``align`` > 1 rounds each lane's word count up to that multiple
+        — the DMA compaction path needs 1024-word-aligned offsets
+        (Mosaic HBM slicing); the host unpack reads via cumw either
+        way, so padding words are dead fetch bytes, nothing more."""
         w_ll = plan.fse_wbits[plan.seq_ll_slot[sel]].astype(np.int32)
         w_ml = plan.fse_wbits[plan.seq_ml_slot[sel]].astype(np.int32)
         w_of = plan.fse_wbits[plan.seq_of_slot[sel]].astype(np.int32)
         w_of = np.minimum(w_of, 63 - w_ll - w_ml)
         g = 1 + (w_ll + w_ml + w_of > 32)
+        wc = nseq.astype(np.int64) * g
+        if align > 1:
+            wc = -(-wc // align) * align
         cumw = np.zeros(len(sel) + 1, dtype=np.int32)
-        np.cumsum(nseq.astype(np.int64) * g, out=cumw[1:])
+        np.cumsum(wc, out=cumw[1:])
         n_dense_w = _dense_pad(int(cumw[-1]))
         return w_ll, w_ml, w_of, cumw, n_dense_w
 
@@ -630,6 +638,16 @@ class DeviceEngine:
         w_ll, w_ml, w_of, cumw, n_dense_w = self._seq_pack_meta(
             plan, sel, nseq
         )
+        # DMA compaction beats the serial dense gather only when the
+        # call is big enough that its ~27 ns/word cost exceeds the
+        # 1024-word per-lane alignment pad's fetch cost (BASELINE.md
+        # r5) — the bench whale call (1.5 M words) qualifies, the
+        # small tail calls don't.
+        use_dma = not self.pallas_interpret and int(cumw[-1]) >= (1 << 19)
+        if use_dma:
+            w_ll, w_ml, w_of, cumw, n_dense_w = self._seq_pack_meta(
+                plan, sel, nseq, align=1024
+            )
         dev = self._plan_dev(plan)
         lane = lambda a: self._put(a, lane=True)  # noqa: E731
         handles = decode_sequences_dense_pl(
@@ -646,6 +664,7 @@ class DeviceEngine:
             R_of=_next_pow2(1 << int(plan.seq_of_al[sel].max()), lo=8),
             R_ml=_next_pow2(1 << int(plan.seq_ml_al[sel].max()), lo=8),
             interpret=self.pallas_interpret,
+            dma_compact=use_dma,
         )
         self.stats.kernel_calls += 1
         pending.append((idx, cumw, handles))
