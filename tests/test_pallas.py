@@ -13,6 +13,7 @@ packed-field-overflow lane (ll > 0xFFFF → wide-retry flag parity).
 """
 
 import numpy as np
+import pytest
 
 from zstd_tpu.format.block_table import build_batch_plan
 from zstd_tpu.runtime.engine import DeviceEngine, _handles
@@ -191,3 +192,36 @@ def test_pallas_overflow_lane_flag_parity():
     assert not pre[0].all()  # the overflow lane is flagged
     _assert_lane_parity(data)
     _assert_engine_exact(data, bytes(payload))
+
+
+def test_pallas_dma_compact_big_call(monkeypatch):
+    # Calls with >= 512K packed words take the Mosaic DMA-compaction
+    # path (1024-word-quantized cumw, kernels/compact_dma.py) instead
+    # of the dense gather.  Needs a real TPU (the DMA form is gated off
+    # interpret mode); low-entropy ACGT noise yields ~1 M sequences in
+    # one 128-lane call.
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("DMA compaction path is TPU-only")
+    rng = np.random.default_rng(5)
+    payload = rng.choice(
+        np.frombuffer(b"ACGT", dtype=np.uint8), 8 << 20
+    ).tobytes()
+    data = libzstd.compress(payload, 3, checksum=True)
+    plan = build_batch_plan(data)
+    assert int(plan.seq_nseq.sum()) >= (1 << 19)
+
+    aligns = []
+    orig = DeviceEngine._seq_pack_meta
+
+    def spy(self, plan_, sel, nseq, align=1):
+        aligns.append(align)
+        return orig(self, plan_, sel, nseq, align=align)
+
+    monkeypatch.setattr(DeviceEngine, "_seq_pack_meta", spy)
+    eng = DeviceEngine(use_pallas=True)
+    out = eng.decompress(data)
+    assert out == payload
+    assert eng.stats.fallback_frames == 0, eng.stats.fallback_reasons
+    assert 1024 in aligns, aligns  # the DMA path actually engaged

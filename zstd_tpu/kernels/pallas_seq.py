@@ -1,20 +1,20 @@
 """Batched interleaved-tANS sequence decode as a Mosaic (Pallas) kernel.
 
-The lax.scan form (entropy2._sequences_scan) measures ~41 us/step on
-v5e — and the literals Pallas spike proved the scan's per-step overhead,
-not the table work, dominates (BASELINE.md "Pallas spike").  This kernel
-applies the same treatment to the sequences hot loop (reference
-``sequences.rs:217-229`` / ``sequence.rs:41-88``) plus two new tricks:
+The lax.scan form (entropy2._sequences_scan) pays per-step scan
+overhead the Mosaic form does not (BASELINE.md "Pallas spike"); this
+kernel covers the sequences hot loop (reference ``sequences.rs:217-229``
+/ ``sequence.rs:41-88``) with:
 
-* **L1 word cache** — the literals kernel pays one (W, 128) one-hot
-  pass per refill; at 3 refills/slot x 8 slots that would dominate
-  here.  Instead each lane keeps a 128-word sliding cache in the loop
-  carry, refreshed every 2 steps with two GROUP selects (the (W, 128)
-  window reshaped to (W/64, 64, 128) so one pass extracts a whole
-  64-word aligned group per lane).  Per-slot refills then one-hot over
-  128 cached rows instead of W.  Never-stall bound: a slot consumes
-  <= 3 words, so 16 slots drain <= 48 < 64 words — a 2-step cadence
-  keeps wi-2 inside the cache between refreshes.
+* **L1 word cache** — each lane keeps a 128-word sliding cache in the
+  loop carry, refreshed every 2 steps with two GROUP selects (the
+  (W, 128) window reshaped to (W/64, 64, 128) so one pass extracts a
+  whole 64-word aligned group per lane).  Per-slot refills then one-hot
+  over 128 cached rows instead of W.  Never-stall bound: a slot
+  consumes <= 3 words, so 16 slots drain <= 48 < 64 words — a 2-step
+  cadence keeps wi-2 inside the cache between refreshes.
+* **Tensor bit buffer** — the 192-bit MSB-first window lives in ONE
+  (8, 128) uint32 tensor; consume/merge are a few full-VREG ops via a
+  sublane roll instead of per-word scalar-row chains (r5).
 * **Static table heights** — the one-hot state selects span
   R = 2^max(al) rows per kind (engine tiers pass it statically), not a
   blanket 512: OF tables cap at AL 8 and low-level streams at 5-7.
@@ -23,8 +23,9 @@ Layout: one grid program per (128-lane block, step chunk); TPU grids
 run sequentially, so bit-buffer + tANS state persists across step
 chunks in VMEM scratch, and the (W, 128) window + table planes are
 revisited (not re-fetched) while the lane block is unchanged.  Output
-planes match decode_sequences_dense's packed contract and the dense
-compaction runs as XLA ops around the kernel.
+planes match decode_sequences_dense's packed contract; compaction is
+either the XLA gather form or, for big calls, per-lane DMA copies
+(kernels/compact_dma.py) around the Mosaic body.
 """
 
 from __future__ import annotations
