@@ -66,9 +66,9 @@ def compact_lanes_dma(planeT, cum, *, n_dense: int, maxw: int):
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.uint32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )(cum >> 10, planeT.reshape(-1))
     return out[:n_dense]

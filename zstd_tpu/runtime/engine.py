@@ -3,8 +3,11 @@ entropy kernels → host assembly.
 
 Pipeline (SURVEY.md §7):
 
-1. ``build_batch_plan`` parses everything and lays each entropy stream
-   out as a kernel lane.
+1. ``build_batch_plan`` parses frames and lays each entropy stream out
+   as a kernel lane; the single-device path plans ~1 MiB frame GROUPS
+   and dispatches each group as soon as it parses, so the prepass of
+   group k overlaps the device execution of groups < k
+   (``_run_pipelined``).
 2. Lanes are grouped into a few pow2-step calls (``_tier_split``); ALL
    calls of BOTH phases dispatch asynchronously, then each call's
    output streams back in dispatch order on a 2-worker fetch pool so
