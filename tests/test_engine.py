@@ -354,14 +354,16 @@ def test_frame_pipelined_groups_bit_exact(monkeypatch):
     assert len(data) > (1 << 20) + (256 << 10)  # >= 2 pipeline groups
 
     groups_seen = []
-    orig = DeviceEngine._run_pipelined
+    orig = DeviceEngine._iter_pipelined
 
     def spy(self, d, w):
-        groups, parse_s = orig(self, d, w)
-        groups_seen.append(len(groups))
-        return groups, parse_s
+        n = 0
+        for g in orig(self, d, w):
+            n += 1
+            yield g
+        groups_seen.append(n)
 
-    monkeypatch.setattr(DeviceEngine, "_run_pipelined", spy)
+    monkeypatch.setattr(DeviceEngine, "_iter_pipelined", spy)
     eng = DeviceEngine()
     out = eng.decompress(data)
     assert out == bytes(expect)

@@ -7,7 +7,8 @@ Pipeline (SURVEY.md §7):
    as a kernel lane; the single-device path plans ~1 MiB frame GROUPS
    and dispatches each group as soon as it parses, so the prepass of
    group k overlaps the device execution of groups < k
-   (``_run_pipelined``).
+   (``_iter_pipelined``); each group assembles as soon as its
+   fetches land, overlapping later groups' transfers.
 2. Lanes are grouped into a few pow2-step calls (``_tier_split``); ALL
    calls of BOTH phases dispatch asynchronously, then each call's
    output streams back in dispatch order on a 2-worker fetch pool so
@@ -959,27 +960,44 @@ class DeviceEngine:
         # Frame-pipelined path (single-device, non-instrumented): parse
         # ~1 MiB frame GROUPS and dispatch each group's kernels as soon
         # as it parses, so the prepass of group k overlaps the device
-        # execution of groups < k.  measure_phases keeps the one-plan
-        # path (its barrier semantics define the phase split), as do
-        # mesh/multihost engines (their exchange collectives need every
-        # process to enter identical phase order on one plan).
-        groups = None
+        # execution of groups < k — and each group ASSEMBLES (host C
+        # executor + checksum) as soon as its fetches land, overlapping
+        # the fetches of later groups.  measure_phases keeps the
+        # one-plan path (its barrier semantics define the phase split),
+        # as do mesh/multihost engines (their exchange collectives need
+        # every process to enter identical phase order on one plan).
+        out = bytearray()
+        done = False
         prepass_s = 0.0
+        asm_s = 0.0
         if (
             self.mesh is None
             and type(self)._run_both is DeviceEngine._run_both
             and not self.measure_phases
         ):
+            snap = (stats.frames, stats.blocks, stats.fallback_frames)
             try:
-                groups, prepass_s = self._run_pipelined(data, words)
+                for g in self._iter_pipelined(data, words):
+                    ta = time.perf_counter()
+                    self._assemble_group(
+                        *g,
+                        out=out,
+                        verify_checksum=verify_checksum,
+                        include_skippable=include_skippable,
+                    )
+                    asm_s += time.perf_counter() - ta
+                prepass_s = self._pipeline_parse_s
+                done = True
             except Exception as e:
                 _log.warning(
                     "pipelined kernel phase failed, replanning: %r", e
                 )
                 stats.fallback_reasons.append(f"pipelined: {e!r}")
                 self._drain_fetches()
-                groups = None
-        if groups is None:
+                out = bytearray()
+                stats.frames, stats.blocks, stats.fallback_frames = snap
+                stats.lit_lanes = stats.seq_lanes = 0
+        if not done:
             tp = time.perf_counter()
             plan = build_batch_plan(
                 data, max_window_size=self.max_window_size, words=words
@@ -1002,79 +1020,89 @@ class DeviceEngine:
                 seq_outs = [None] * plan.n_seq_lanes
                 lit_ok = np.zeros(plan.n_lit_lanes, dtype=bool)
                 seq_ok = np.zeros(plan.n_seq_lanes, dtype=bool)
-            groups = [(plan, lit_outs, lit_ok, seq_outs, seq_ok)]
-        t2 = time.perf_counter()
-
-        out = bytearray()
-        for plan, lit_outs, lit_ok, seq_outs, seq_ok in groups:
-            stats.lit_lanes += plan.n_lit_lanes
-            stats.seq_lanes += plan.n_seq_lanes
-            for fp in plan.frames:
-                stats.frames += 1
-                if isinstance(fp.frame, SkippableFrame):
-                    if include_skippable:
-                        out += fp.frame.payload
-                    continue
-                stats.blocks += len(fp.blocks)
-                if fp.fallback or not _frame_lanes_ok(fp, lit_ok, seq_ok):
-                    stats.fallback_frames += 1
-                    out += decode_frame(fp.frame, verify_checksum=verify_checksum)
-                    continue
-                try:
-                    frame_out = self._assemble_frame(fp, lit_outs, seq_outs)
-                    header = fp.frame.header
-                    if header.checksum_flag and verify_checksum:
-                        computed = xxh64(frame_out) & 0xFFFFFFFF
-                        if computed != fp.frame.checksum:
-                            raise ChecksumMismatch(computed, fp.frame.checksum)
-                    if (
-                        header.content_size is not None
-                        and len(frame_out) != header.content_size
-                    ):
-                        raise ImpossibleValue(
-                            f"frame decoded {len(frame_out)}, "
-                            f"header says {header.content_size}"
-                        )
-                except Exception as e:
-                    # Assembly/validation failed: re-decode the frame
-                    # with the oracle.  A kernel bug thereby degrades to
-                    # correct bytes; genuine corruption re-raises from
-                    # the oracle as the same typed error the host path
-                    # would produce.
-                    _log.warning("frame assembly failed, oracle fallback: %r", e)
-                    stats.fallback_frames += 1
-                    stats.fallback_reasons.append(f"assembly: {e!r}")
-                    frame_out = decode_frame(
-                        fp.frame, verify_checksum=verify_checksum
-                    )
-                out += frame_out
+            ta = time.perf_counter()
+            self._assemble_group(
+                plan, lit_outs, lit_ok, seq_outs, seq_ok,
+                out=out,
+                verify_checksum=verify_checksum,
+                include_skippable=include_skippable,
+            )
+            asm_s = time.perf_counter() - ta
         t3 = time.perf_counter()
 
         stats.bytes_out = len(out)
-        # Pipelined runs overlap parse with device execution, so
-        # ``prepass`` is parse-only CPU time (informational) and
-        # ``kernels`` is the full overlapped span.
+        # Pipelined runs overlap parse, device execution, fetch and
+        # assembly, so ``prepass``/``assembly`` are accumulated
+        # component times (informational) and ``kernels`` is the
+        # residual of the overlapped span.
         stats.wall_s.update(
             prepass=prepass_s,
-            kernels=(t2 - t0) - (0.0 if groups and len(groups) > 1 else prepass_s),
-            assembly=t3 - t2,
+            kernels=(t3 - t0) - prepass_s - asm_s,
+            assembly=asm_s,
             total=t3 - t0,
         )
         return bytes(out)
 
-    def _run_pipelined(self, data, words):
+    def _assemble_group(
+        self, plan, lit_outs, lit_ok, seq_outs, seq_ok, *,
+        out: bytearray, verify_checksum: bool, include_skippable: bool,
+    ) -> None:
+        """Assemble one plan's frames (in order) onto ``out``."""
+        stats = self.stats
+        stats.lit_lanes += plan.n_lit_lanes
+        stats.seq_lanes += plan.n_seq_lanes
+        for fp in plan.frames:
+            stats.frames += 1
+            if isinstance(fp.frame, SkippableFrame):
+                if include_skippable:
+                    out += fp.frame.payload
+                continue
+            stats.blocks += len(fp.blocks)
+            if fp.fallback or not _frame_lanes_ok(fp, lit_ok, seq_ok):
+                stats.fallback_frames += 1
+                out += decode_frame(fp.frame, verify_checksum=verify_checksum)
+                continue
+            try:
+                frame_out = self._assemble_frame(fp, lit_outs, seq_outs)
+                header = fp.frame.header
+                if header.checksum_flag and verify_checksum:
+                    computed = xxh64(frame_out) & 0xFFFFFFFF
+                    if computed != fp.frame.checksum:
+                        raise ChecksumMismatch(computed, fp.frame.checksum)
+                if (
+                    header.content_size is not None
+                    and len(frame_out) != header.content_size
+                ):
+                    raise ImpossibleValue(
+                        f"frame decoded {len(frame_out)}, "
+                        f"header says {header.content_size}"
+                    )
+            except Exception as e:
+                # Assembly/validation failed: re-decode the frame with
+                # the oracle.  A kernel bug thereby degrades to correct
+                # bytes; genuine corruption re-raises from the oracle as
+                # the same typed error the host path would produce.
+                _log.warning("frame assembly failed, oracle fallback: %r", e)
+                stats.fallback_frames += 1
+                stats.fallback_reasons.append(f"assembly: {e!r}")
+                frame_out = decode_frame(
+                    fp.frame, verify_checksum=verify_checksum
+                )
+            out += frame_out
+
+    def _iter_pipelined(self, data, words):
         """Parse frame groups and dispatch each group's kernel calls as
         soon as it parses; one streaming fetch then covers every call
-        in dispatch order (the fetch of group k overlaps the compute of
-        later groups and the host finish of earlier ones).  Returns
-        ([(plan, lit_outs, lit_ok, seq_outs, seq_ok)], parse_seconds).
-        """
+        in dispatch order, and groups are YIELDED as their fetches
+        finish so the caller assembles group k while groups > k are
+        still fetching.  Parse-only seconds accumulate in
+        ``self._pipeline_parse_s``."""
         import time
 
         from ..format.frame import parse_frame
         from ..utils.bits import ForwardByteCursor
 
-        parse_s = 0.0
+        self._pipeline_parse_s = 0.0
         staged = []
         cur = ForwardByteCursor(data)
         group_bytes = 1 << 20
@@ -1092,20 +1120,18 @@ class DeviceEngine:
                 words=words,
                 frames=frames,
             )
-            parse_s += time.perf_counter() - tp
+            self._pipeline_parse_s += time.perf_counter() - tp
             lit_outs, lit_ok, lp = self._dispatch_literals(plan)
             seq_outs, seq_ok, sp = self._dispatch_sequences(plan)
             staged.append((plan, lit_outs, lit_ok, seq_outs, seq_ok, lp, sp))
         it = self._fetch_stream(
             [h for g in staged for h in _handles(g[5]) + _handles(g[6])]
         )
-        groups = []
         for plan, lit_outs, lit_ok, seq_outs, seq_ok, lp, sp in staged:
             self._finish_literals(plan, lp, lit_outs, lit_ok, it)
             self._finish_sequences(plan, sp, seq_outs, seq_ok, it)
             self._retry_sequences(plan, seq_outs, seq_ok)
-            groups.append((plan, lit_outs, lit_ok, seq_outs, seq_ok))
-        return groups, parse_s
+            yield plan, lit_outs, lit_ok, seq_outs, seq_ok
 
     def decompress(self, data, **kw) -> bytes:
         return self.decompress_with_stats(data, **kw)
